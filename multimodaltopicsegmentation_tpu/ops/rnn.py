@@ -1,0 +1,132 @@
+"""Scan-based LSTM/GRU recurrences for TPU.
+
+TPU-native replacement for the reference's cuDNN `nn.LSTM` + pack/pad wrapper
+(/root/reference/models/NeuralArchitectures.py:23-146). Design:
+
+- The input projection `x @ W_ih` for ALL timesteps is one large batched
+  matmul (MXU-friendly); only the `h @ W_hh` recurrence runs inside
+  `lax.scan` over time.
+- Variable lengths are handled with masks and an in-length reversal
+  (`reverse_in_length`) instead of packed sequences: because valid steps
+  always precede padding (in both directions after the reversal), carries
+  never cross from padding into valid steps, and outputs at padded steps are
+  zeroed exactly like `pad_packed_sequence` does.
+- Initialization replicates the reference's TF/Keras-style scheme
+  (NeuralArchitectures.py:58-79): xavier-uniform W_ih, orthogonal W_hh,
+  zero biases with LSTM forget-gate bias 1.
+
+Gate orders match torch conventions so semantics are comparable:
+LSTM gates (i, f, g, o); GRU gates (r, z, n).
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .masks import length_mask, reverse_in_length
+
+
+def lstm_params(rng, in_dim: int, hidden: int, dtype=jnp.float32) -> dict:
+    k1, k2 = jax.random.split(rng)
+    w_ih = jax.nn.initializers.xavier_uniform()(k1, (in_dim, 4 * hidden), dtype)
+    w_hh = jax.nn.initializers.orthogonal()(k2, (hidden, 4 * hidden), dtype)
+    b = jnp.zeros((4 * hidden,), dtype)
+    # forget-gate bias = 1 (torch layout: i, f, g, o)
+    b = b.at[hidden : 2 * hidden].set(1.0)
+    return {"w_ih": w_ih, "w_hh": w_hh, "b": b}
+
+
+def gru_params(rng, in_dim: int, hidden: int, dtype=jnp.float32) -> dict:
+    k1, k2 = jax.random.split(rng)
+    w_ih = jax.nn.initializers.xavier_uniform()(k1, (in_dim, 3 * hidden), dtype)
+    w_hh = jax.nn.initializers.orthogonal()(k2, (hidden, 3 * hidden), dtype)
+    b_ih = jnp.zeros((3 * hidden,), dtype)
+    b_hh = jnp.zeros((3 * hidden,), dtype)
+    return {"w_ih": w_ih, "w_hh": w_hh, "b_ih": b_ih, "b_hh": b_hh}
+
+
+def lstm_scan(params: dict, x: jnp.ndarray) -> jnp.ndarray:
+    """Unidirectional LSTM over [B, L, D] -> [B, L, H]."""
+    B, L, _ = x.shape
+    H = params["w_hh"].shape[0]
+    # One big MXU matmul for the input projection of every timestep.
+    xp = jnp.einsum("bld,dg->blg", x, params["w_ih"]) + params["b"]
+    xp = jnp.transpose(xp, (1, 0, 2))  # time-major for scan
+
+    w_hh = params["w_hh"]
+
+    def step(carry, xp_t):
+        h, c = carry
+        gates = xp_t + h @ w_hh
+        i, f, g, o = jnp.split(gates, 4, axis=-1)
+        i = jax.nn.sigmoid(i)
+        f = jax.nn.sigmoid(f)
+        g = jnp.tanh(g)
+        o = jax.nn.sigmoid(o)
+        c = f * c + i * g
+        h = o * jnp.tanh(c)
+        return (h, c), h
+
+    h0 = jnp.zeros((B, H), x.dtype)
+    c0 = jnp.zeros((B, H), x.dtype)
+    _, ys = lax.scan(step, (h0, c0), xp)
+    return jnp.transpose(ys, (1, 0, 2))
+
+
+def gru_scan(params: dict, x: jnp.ndarray) -> jnp.ndarray:
+    """Unidirectional GRU over [B, L, D] -> [B, L, H] (torch gate layout)."""
+    B, L, _ = x.shape
+    H = params["w_hh"].shape[0]
+    xp = jnp.einsum("bld,dg->blg", x, params["w_ih"]) + params["b_ih"]
+    xp = jnp.transpose(xp, (1, 0, 2))
+
+    w_hh = params["w_hh"]
+    b_hh = params["b_hh"]
+
+    def step(h, xp_t):
+        hp = h @ w_hh + b_hh
+        xr, xz, xn = jnp.split(xp_t, 3, axis=-1)
+        hr, hz, hn = jnp.split(hp, 3, axis=-1)
+        r = jax.nn.sigmoid(xr + hr)
+        z = jax.nn.sigmoid(xz + hz)
+        n = jnp.tanh(xn + r * hn)
+        h = (1.0 - z) * n + z * h
+        return h, h
+
+    h0 = jnp.zeros((B, H), x.dtype)
+    _, ys = lax.scan(step, h0, xp)
+    return jnp.transpose(ys, (1, 0, 2))
+
+
+def bidirectional_rnn(
+    fwd_params: dict,
+    bwd_params: dict,
+    x: jnp.ndarray,
+    lengths: jnp.ndarray,
+    cell: str = "lstm",
+) -> jnp.ndarray:
+    """Bidirectional recurrence -> [B, L, 2H], padding zeroed.
+
+    The backward direction reverses each sequence within its own length so it
+    starts from the true final step (packed-sequence semantics).
+    """
+    scan_fn = lstm_scan if cell == "lstm" else gru_scan
+    mask = length_mask(lengths, x.shape[1], x.dtype)[..., None]
+    y_f = scan_fn(fwd_params, x)
+    x_r = reverse_in_length(x, lengths)
+    y_b = scan_fn(bwd_params, x_r)
+    y_b = reverse_in_length(y_b, lengths)
+    return jnp.concatenate([y_f, y_b], axis=-1) * mask
+
+
+def unidirectional_rnn(
+    params: dict, x: jnp.ndarray, lengths: Optional[jnp.ndarray], cell: str = "lstm"
+) -> jnp.ndarray:
+    scan_fn = lstm_scan if cell == "lstm" else gru_scan
+    y = scan_fn(params, x)
+    if lengths is not None:
+        y = y * length_mask(lengths, x.shape[1], x.dtype)[..., None]
+    return y

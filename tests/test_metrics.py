@@ -1,0 +1,158 @@
+"""Metric tests: hand-computed cases + parity with the reference's WinPR.
+
+The reference delegates Pk/WD to segeval; segeval is not available here, so
+Pk/WindowDiff are checked against hand-worked examples from the original
+papers' definitions, and WinPR against a direct transcription of the formula
+on small cases.
+"""
+import numpy as np
+import pytest
+
+from multimodaltopicsegmentation_tpu.eval import metrics as M
+
+
+def test_get_boundaries():
+    assert M.get_boundaries([0, 0, 1, 0, 1]) == [3, 2]
+    assert M.get_boundaries([1, 1, 1]) == [1, 1, 1]
+    assert M.get_boundaries([0, 0, 0]) == []
+
+
+def test_default_window_size_half_even():
+    # mean mass 5 -> 2.5 -> banker's rounding -> 2
+    assert M._default_window_size([5, 5]) == 2
+    # mean mass 7 -> 3.5 -> 4
+    assert M._default_window_size([7, 7]) == 4
+    assert M._default_window_size([4, 4]) == 2
+
+
+def test_pk_perfect_and_worst():
+    ref = [5, 5, 5]
+    assert M.pk(ref, ref) == 0.0
+    # all-in-one-segment hypothesis: disagreement wherever ref has a boundary
+    # inside the window
+    n = 15
+    k = M._default_window_size(ref)
+    hyp = [n]
+    ref_pos = np.repeat(np.arange(3), 5)
+    expected = np.sum(ref_pos[: n - k] != ref_pos[k:]) / (n - k)
+    assert M.pk(hyp, ref) == pytest.approx(expected)
+
+
+def test_pk_hand_computed():
+    # ref masses [2,2], hyp masses [1,3], k = round(2/2)=1
+    # positions ref: 0 0 1 1 ; hyp: 0 1 1 1
+    # windows (i, i+1) for i in 0..2: ref same: [T, F, T]; hyp same: [F, T, T]
+    # disagreements: 2 of 3
+    assert M.pk([1, 3], [2, 2], window_size=1) == pytest.approx(2 / 3)
+
+
+def test_window_diff_hand_computed():
+    # same case: boundary counts per window ref: [0,1,0], hyp: [1,0,0] -> 2/3
+    assert M.window_diff([1, 3], [2, 2], window_size=1) == pytest.approx(2 / 3)
+    assert M.window_diff([2, 2], [2, 2]) == 0.0
+
+
+def test_window_diff_raises_when_window_too_big():
+    with pytest.raises(AssertionError):
+        M.window_diff([2], [2], window_size=5)
+
+
+def test_compute_pk_forces_final_boundary():
+    # final unit not marked in either -> forced to 1 on both, so identical
+    assert M.compute_Pk([0, 0, 1, 0, 0], [0, 0, 1, 0, 0]) == 0.0
+
+
+def test_winpr_perfect():
+    ref = [0, 0, 1, 0, 0, 0, 1, 0]
+    p, r, f1 = M.win_pr(ref, ref, k=3)
+    assert p == 1.0 and r == 1.0 and f1 == 1.0
+
+
+def test_winpr_no_hyp_boundaries():
+    ref = [0, 1, 0, 0]
+    hyp = [0, 0, 0, 0]
+    p, r, f1 = M.win_pr(ref, hyp, k=2)
+    assert p == 0.0 and r == 0.0 and f1 == 0.0
+
+
+def test_winpr_matches_naive_transcription():
+    # direct transcription of the reference's loop (lightning_model.py:57-124)
+    def winpr_ref(reference, hypothesis, k=10):
+        N = len(reference)
+        RC = []
+        Spans_R, Spans_C = [], []
+        for i in range(1 - k, N + 1):
+            prev_br = prev_bc = 0
+            try:
+                if Spans_R[-1][0] == 1:
+                    prev_br = 1
+            except IndexError:
+                pass
+            try:
+                if Spans_C[-1][0] == 1:
+                    prev_bc = 1
+            except IndexError:
+                pass
+            # exact reference expression: for negative i (and N > k) these
+            # python slices are EMPTY, so no carry enters before i == 1
+            Spans_R.append(reference[i : i + k])
+            Spans_C.append(hypothesis[i : i + k])
+            R = sum(reference[max(i, 0) : i + k]) + prev_br
+            C = sum(hypothesis[max(i, 0) : i + k]) + prev_bc
+            RC.append((R, C))
+        TP = sum(min(R, C) for R, C in RC)
+        FP = sum(max(0, C - R) for R, C in RC)
+        FN = sum(max(0, R - C) for R, C in RC)
+        if TP + FP == 0:
+            return 0, 0, 0
+        precision = TP / (TP + FP)
+        recall = TP / (TP + FN)
+        f1 = 2 * (precision * recall / (precision + recall))
+        return precision, recall, f1
+
+    rng = np.random.default_rng(7)
+    for _ in range(20):
+        n = int(rng.integers(12, 60))
+        ref = (rng.random(n) < 0.15).astype(int).tolist()
+        hyp = (rng.random(n) < 0.15).astype(int).tolist()
+        ours = M.win_pr(ref, hyp, k=10)
+        try:
+            theirs = winpr_ref(ref, hyp, k=10)
+        except ZeroDivisionError:
+            # the reference crashes when TP==0 but TP+FP>0; we return f1=0
+            assert ours[2] == 0.0
+            continue
+        assert ours == pytest.approx(theirs)
+
+
+def test_boundary_edit_distance_basic():
+    # identical
+    m, t, aa, ab = M.boundary_edit_distance([2, 3], [2, 3], n_t=4)
+    assert (m, t, aa, ab) == (1, [], 0, 0)
+    # near miss at distance 1 -> transposition
+    m, t, aa, ab = M.boundary_edit_distance([2, 3], [3, 2], n_t=4)
+    assert m == 0 and t == [1] and aa == 0 and ab == 0
+    # far miss -> two additions
+    m, t, aa, ab = M.boundary_edit_distance([1, 9], [9, 1], n_t=4)
+    assert m == 0 and t == [] and aa == 1 and ab == 1
+
+
+def test_boundary_similarity_range():
+    assert M.boundary_similarity([2, 3], [2, 3], n_t=10) == 1.0
+    assert M.boundary_similarity([1, 9], [9, 1], n_t=4) == 0.0
+    b = M.boundary_similarity([2, 3], [3, 2], n_t=10)
+    assert 0.0 < b < 1.0
+    # distance-1 transposition with n_t=10: penalty 0.1 over 1 boundary
+    assert b == pytest.approx(1 - 0.1)
+
+
+def test_b_measure_wrapper():
+    bp, br, bf1, b = M.b_measure([0, 1, 0, 0, 1], [0, 1, 0, 0, 0])
+    assert bp == 1.0 and br == 1.0 and bf1 == 1.0 and b == 1.0
+
+
+def test_boundary_f1():
+    assert M.boundary_f1([0, 1, 0, 1], [0, 1, 0, 1]) == 1.0
+    assert M.boundary_f1([0, 1, 0, 0], [0, 0, 0, 1]) == 0.0
+    # one tp, one fn: f1 = 2*1/(2*1+0+1)
+    assert M.boundary_f1([0, 1, 1, 0], [0, 1, 0, 0]) == pytest.approx(2 / 3)
