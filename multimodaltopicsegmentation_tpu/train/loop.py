@@ -1,0 +1,384 @@
+"""Training/eval runtime replacing the reference's pytorch-lightning stack.
+
+Replicates the observable behavior of TextSegmenter + Trainer
+(/root/reference/models/lightning_model.py, train_fit.py:215-373):
+
+- Adam(eps=1e-7) or SGD(momentum=.9, weight_decay=1e-4) (lightning_model.py:759-765)
+- ReduceLROnPlateau(factor=.8, patience=10, rel threshold 1e-4) on the
+  monitored loss (lightning_model.py:767-781) — implemented as a host-side
+  multiplier injected into optax so no recompile happens on LR change
+- EarlyStopping(patience, mode=min) + top-1 checkpointing keyed on
+  val_loss/training_loss with the reference's filename contract
+- test-time decode thresholds: self.threshold else 0.4, and the 0.0 -> 0.5
+  quirk (lightning_model.py:583-585)
+- per-document Pk / F1 / WindowDiff (AssertionError -> Pk fallback) or
+  B-measure / WinPR depending on --metric (lightning_model.py:606-676)
+
+Deliberate divergences (documented, not silent):
+- validation loss is computed WITHOUT dropout; the reference's F.dropout
+  defaults to training=True so its val loss is stochastic — deterministic
+  monitoring is strictly better and changes no test-time behavior.
+- batches are padded to length buckets so the jitted step compiles once per
+  bucket, not once per batch shape.
+
+The whole train step (forward + backward + optimizer) is one jitted
+function; decode stays on device and only per-document metric computation
+runs on host.
+"""
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..eval import metrics as M
+from ..models import registry
+from ..models.base import TaggerConfig
+from . import checkpoints as ckpt_lib
+
+
+def make_optimizer(name: str, lr: float, clip: float = 0.0):
+    if name == "SGD":
+        tx = optax.inject_hyperparams(
+            lambda learning_rate: optax.chain(
+                optax.add_decayed_weights(1e-4),
+                optax.sgd(learning_rate, momentum=0.9),
+            )
+        )(learning_rate=lr)
+    else:
+        tx = optax.inject_hyperparams(
+            lambda learning_rate: optax.adam(learning_rate, eps=1e-7)
+        )(learning_rate=lr)
+    if clip and clip > 0:
+        tx = optax.chain(optax.clip_by_global_norm(clip), tx)
+    return tx
+
+
+def _set_lr(opt_state, lr: float):
+    """Update the injected learning rate in place (works for chained state)."""
+
+    def visit(state):
+        if hasattr(state, "hyperparams") and "learning_rate" in state.hyperparams:
+            state.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
+            return True
+        if isinstance(state, tuple):
+            return any(visit(s) for s in state)
+        return False
+
+    visit(opt_state)
+    return opt_state
+
+
+class PlateauScheduler:
+    """torch ReduceLROnPlateau(mode=min, factor, patience, rel threshold 1e-4)."""
+
+    def __init__(self, lr: float, factor: float = 0.8, patience: int = 10):
+        self.lr = lr
+        self.factor = factor
+        self.patience = patience
+        self.best = float("inf")
+        self.bad = 0
+
+    def step(self, value: float) -> float:
+        if value < self.best * (1 - 1e-4):
+            self.best = value
+            self.bad = 0
+        else:
+            self.bad += 1
+            if self.bad > self.patience:
+                self.lr *= self.factor
+                self.bad = 0
+        return self.lr
+
+
+class Trainer:
+    """Single-model fit/test driver (one fold, one hyperparameter setting)."""
+
+    def __init__(
+        self,
+        architecture: str,
+        cfg: TaggerConfig,
+        lr: float = 1e-3,
+        optimizer: str = "Adam",
+        max_epochs: int = 100,
+        patience: int = 20,
+        no_early_stop: bool = False,
+        monitor: str = "val_loss",
+        check_dir: str = "checkpoints",
+        seed: int = 42,
+        gradient_clipping: float = 0.0,
+        metric: str = "Pk",
+        threshold: Optional[float] = None,
+        use_end_boundary: bool = False,
+        zero_baseline: bool = False,
+    ):
+        self.arch_name = architecture
+        self.arch = registry.build(architecture, cfg)
+        self.cfg = cfg
+        self.lr = lr
+        self.optimizer_name = optimizer
+        self.max_epochs = max_epochs
+        self.patience = patience
+        self.no_early_stop = no_early_stop
+        self.monitor = monitor
+        self.check_dir = check_dir
+        self.seed = seed
+        self.clip = gradient_clipping
+        self.metric = metric
+        self.threshold = threshold
+        self.eb = use_end_boundary
+        self.zero_baseline = zero_baseline
+        self.domain = registry.is_domain_adapt(architecture)
+        self.double = registry.is_double_input(architecture)
+        self.best_model_path: Optional[str] = None
+        self._step_cache: Dict = {}
+        self._loss_cache: Dict = {}
+
+    # -- jit caches keyed on batch shape ------------------------------------
+    def _train_step(self, shape_key):
+        if shape_key not in self._step_cache:
+            arch = self.arch
+            tx = self.tx
+
+            def step(params, opt_state, src, lengths, tags, rng, extra):
+                def loss_fn(p):
+                    if self.domain:
+                        return arch.loss(p, src, lengths, tags, extra["domain"], rng=rng)
+                    if self.double:
+                        return arch.loss(p, src, lengths, tags, rng=rng, x2=extra["x2"])
+                    return arch.loss(p, src, lengths, tags, rng=rng)
+
+                loss, grads = jax.value_and_grad(loss_fn)(params)
+                updates, opt_state = tx.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return params, opt_state, loss
+
+            self._step_cache[shape_key] = jax.jit(step, donate_argnums=(0, 1))
+        return self._step_cache[shape_key]
+
+    def _eval_loss(self, shape_key):
+        if shape_key not in self._loss_cache:
+            arch = self.arch
+
+            def eval_loss(params, src, lengths, tags, extra):
+                if self.domain:
+                    return arch.loss(params, src, lengths, tags, extra["domain"], rng=None)
+                if self.double:
+                    return arch.loss(params, src, lengths, tags, rng=None, x2=extra["x2"])
+                return arch.loss(params, src, lengths, tags, rng=None)
+
+            self._loss_cache[shape_key] = jax.jit(eval_loss)
+        return self._loss_cache[shape_key]
+
+    def _extra(self, batch):
+        extra = {}
+        if self.domain:
+            extra["domain"] = jnp.asarray(batch["domain"])
+        if self.double:
+            extra["x2"] = jnp.asarray(batch["src_tokens2"])
+        return extra
+
+    # -- fit ----------------------------------------------------------------
+    def fit(self, train_batches: List[dict], valid_batches: Optional[List[dict]] = None):
+        rng = jax.random.PRNGKey(self.seed)
+        rng, k_init = jax.random.split(rng)
+        params = self.arch.init(k_init)
+        self.tx = make_optimizer(self.optimizer_name, self.lr, self.clip)
+        opt_state = self.tx.init(params)
+
+        sched = PlateauScheduler(self.lr)
+        best = float("inf")
+        bad_epochs = 0
+        os.makedirs(self.check_dir, exist_ok=True)
+
+        history = []
+        for epoch in range(self.max_epochs):
+            train_losses = []
+            for batch in train_batches:
+                rng, k = jax.random.split(rng)
+                shape_key = (batch["src_tokens"].shape, "train")
+                step = self._train_step(shape_key)
+                params, opt_state, loss = step(
+                    params,
+                    opt_state,
+                    jnp.asarray(batch["src_tokens"]),
+                    jnp.asarray(batch["src_lengths"]),
+                    jnp.asarray(batch["tgt_tokens"]),
+                    k,
+                    self._extra(batch),
+                )
+                train_losses.append(loss)
+            train_loss = float(np.mean([float(l) for l in train_losses]))
+
+            if valid_batches:
+                val_losses, weights = [], []
+                for batch in valid_batches:
+                    shape_key = (batch["src_tokens"].shape, "eval")
+                    ev = self._eval_loss(shape_key)
+                    l = ev(
+                        params,
+                        jnp.asarray(batch["src_tokens"]),
+                        jnp.asarray(batch["src_lengths"]),
+                        jnp.asarray(batch["tgt_tokens"]),
+                        self._extra(batch),
+                    )
+                    val_losses.append(float(l))
+                    weights.append(batch.get("n_real", len(batch["src_lengths"])))
+                val_loss = float(np.average(val_losses, weights=weights))
+            else:
+                val_loss = None
+
+            monitored = train_loss if self.monitor == "training_loss" else val_loss
+            if monitored is None:
+                monitored = train_loss
+            history.append({"epoch": epoch, "training_loss": train_loss, "val_loss": val_loss})
+
+            # top-1 checkpoint on improvement
+            if monitored < best:
+                best = monitored
+                bad_epochs = 0
+                if self.best_model_path and os.path.exists(self.best_model_path):
+                    os.remove(self.best_model_path)
+                self.best_model_path = os.path.join(
+                    self.check_dir, ckpt_lib.checkpoint_name(epoch, monitored, 0.5)
+                )
+                ckpt_lib.save(self.best_model_path, params, self.cfg, self.arch_name,
+                              extra={"epoch": epoch, "monitored": monitored})
+            else:
+                bad_epochs += 1
+                if not self.no_early_stop and bad_epochs >= self.patience:
+                    break
+
+            opt_state = _set_lr(opt_state, sched.step(monitored))
+
+        self.params = params
+        self.history = history
+        return params, history
+
+    def save_final(self, params):
+        """Reference's -s_last / no_validation path: final=0.500.ckpt."""
+        path = os.path.join(self.check_dir, "final=0.500.ckpt")
+        ckpt_lib.save(path, params, self.cfg, self.arch_name, extra={"final": True})
+        self.best_model_path = path
+        return path
+
+    # -- test ---------------------------------------------------------------
+    def test(self, params, test_batches: List[dict]):
+        """Per-document decode + metrics; returns the reference's results
+        dict plus per-document results/scores lists."""
+        threshold = self.threshold if self.threshold is not None else 0.4
+        if not threshold:
+            threshold = 0.5
+
+        decode = None
+        all_results, all_scores = [], []
+        loss_pk = loss_f1 = loss_wd = 0.0
+        loss_p = loss_r = loss_bf1 = loss_b = 0.0
+        n_docs = 0
+
+        for batch in test_batches:
+            src = jnp.asarray(batch["src_tokens"])
+            lengths = jnp.asarray(batch["src_lengths"])
+            if self.zero_baseline:
+                scores_np = np.zeros(batch["src_tokens"].shape[:2], np.float32)
+                tags_np = np.zeros(batch["src_tokens"].shape[:2], bool)
+            else:
+                if decode is None:
+                    arch = self.arch
+                    if self.domain:
+                        decode = jax.jit(lambda p, x, l, d: arch.decode(p, x, l, d, threshold))
+                    elif self.double:
+                        decode = jax.jit(lambda p, x, l, x2: arch.decode(p, x, l, threshold, x2=x2))
+                    else:
+                        decode = jax.jit(lambda p, x, l: arch.decode(p, x, l, threshold))
+                if self.domain:
+                    scores, tags = decode(params, src, lengths, jnp.asarray(batch["domain"]))
+                elif self.double:
+                    scores, tags = decode(params, src, lengths, jnp.asarray(batch["src_tokens2"]))
+                else:
+                    scores, tags = decode(params, src, lengths)
+                scores_np = np.asarray(scores)
+                tags_np = np.asarray(tags)
+
+            for i in range(batch.get("n_real", len(batch["src_lengths"]))):
+                L = int(batch["src_lengths"][i])
+                tag = tags_np[i][:L].astype(int).tolist()
+                target = np.asarray(batch["tgt_tokens"][i][:L]).astype(int).tolist()
+                if self.eb:
+                    tag[-1] = 0
+                    target[-1] = 0
+                n_docs += 1
+                if self.metric.lower() == "b":
+                    p, r, f1, b = M.b_measure(tag, target)
+                    loss_p += p
+                    loss_r += r
+                    loss_bf1 += f1
+                    loss_b += b
+                elif self.metric.lower() == "scaiano":
+                    p, r, f1 = M.win_pr(tag, target)
+                    loss_p += p
+                    loss_r += r
+                    loss_bf1 += f1
+                else:
+                    loss_pk += M.compute_Pk(tag, target)
+                    loss_f1 += M.boundary_f1(target, tag)
+                    try:
+                        loss_wd += M.compute_window_diff(tag, target)
+                    except AssertionError:
+                        loss_wd += M.compute_Pk(tag, target)
+                if scores_np.ndim == 3:
+                    doc_scores = scores_np[i][:L, 0]
+                else:
+                    doc_scores = scores_np[i][:L]
+                all_scores.append(np.asarray(doc_scores, np.float64))
+
+        if self.metric.lower() in ("b", "scaiano"):
+            results = {
+                "b_precision": loss_p / n_docs,
+                "b_recall": loss_r / n_docs,
+                "b_f1": loss_bf1 / n_docs,
+                "threshold": threshold,
+            }
+            if self.metric.lower() == "b":
+                results["test_loss"] = loss_b / n_docs
+            else:
+                results["test_loss"] = results.pop("b_f1")
+        else:
+            results = {
+                "Pk_loss": loss_pk / n_docs,
+                "F1_loss": loss_f1 / n_docs,
+                "WD_loss": loss_wd / n_docs,
+                "threshold": threshold,
+            }
+            if self.metric == "F1":
+                results["test_loss"] = results.pop("F1_loss")
+            elif self.metric == "WD":
+                results["test_loss"] = results.pop("WD_loss")
+            else:
+                results["test_loss"] = results.pop("Pk_loss")
+
+        # per-doc result dicts, as the reference's all_results collection
+        per_doc = []
+        for batch in test_batches:
+            for i in range(batch.get("n_real", len(batch["src_lengths"]))):
+                per_doc.append(dict(results))
+        return results, per_doc, all_scores
+
+    def predict(self, params, batches: List[dict], threshold: float = 0.5):
+        """Raw tag lists per document (reference predict_step)."""
+        arch = self.arch
+        decode = jax.jit(lambda p, x, l: arch.decode(p, x, l, threshold))
+        out = []
+        for batch in batches:
+            scores, tags = decode(
+                params, jnp.asarray(batch["src_tokens"]), jnp.asarray(batch["src_lengths"])
+            )
+            tags_np = np.asarray(tags)
+            for i in range(batch.get("n_real", len(batch["src_lengths"]))):
+                L = int(batch["src_lengths"][i])
+                out.append(tags_np[i][:L].astype(int).tolist())
+        return out

@@ -1,0 +1,139 @@
+"""End-to-end smoke tests: synthetic corpus -> train_fit CLI -> results.txt."""
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from multimodaltopicsegmentation_tpu.train.data import (
+    load_dataset_from_precomputed,
+    pad_batch,
+    batches,
+)
+from tests.synth import make_synthetic_corpus
+
+
+def test_loader_contract(tmp_path):
+    emb_dir, lab_file, split = make_synthetic_corpus(str(tmp_path), n_docs=8)
+    folds = load_dataset_from_precomputed(emb_dir, lab_file, split=split)
+    assert len(folds) == 1
+    train, test, val = folds[0]
+    assert len(train) == 5 and len(test) == 1 and len(val) == 2
+    emb, lab, name = train[0]
+    assert emb.ndim == 2 and len(lab) == len(emb)
+    assert lab[-1] == 0  # loader zeroes the trailing boundary
+    assert sum(lab) >= 1
+
+
+def test_loader_kfold(tmp_path):
+    emb_dir, lab_file, split = make_synthetic_corpus(str(tmp_path), n_docs=10)
+    folds = load_dataset_from_precomputed(emb_dir, lab_file, k_folds=5)
+    assert len(folds) == 5
+    for train, test in folds:
+        assert len(test) == 2 and len(train) == 8
+
+
+def test_pad_batch_shapes_and_labels(tmp_path):
+    emb_dir, lab_file, split = make_synthetic_corpus(str(tmp_path), n_docs=6)
+    folds = load_dataset_from_precomputed(emb_dir, lab_file, split=split)
+    docs = folds[0][0]
+    b = pad_batch(docs[:3], crf=False, bucket=True)
+    assert b["src_tokens"].shape[1] in (64, 128)  # bucketed
+    # non-CRF label padding is -1
+    i = int(np.argmin(b["src_lengths"][:3]))
+    L = b["src_lengths"][i]
+    if L < b["tgt_tokens"].shape[1]:
+        assert b["tgt_tokens"][i, L] == -1.0
+    b2 = pad_batch(docs[:3], crf=True, bucket=True)
+    if L < b2["tgt_tokens"].shape[1]:
+        assert b2["tgt_tokens"][i, L] == 0.0
+
+
+def test_mask_inner_sentences_reproducible(tmp_path):
+    emb_dir, lab_file, split = make_synthetic_corpus(str(tmp_path), n_docs=4)
+    f1 = load_dataset_from_precomputed(emb_dir, lab_file, split=split, mask_inner_sentences=True)
+    f2 = load_dataset_from_precomputed(emb_dir, lab_file, split=split, mask_inner_sentences=True)
+    for d1, d2 in zip(f1[0][0], f2[0][0]):
+        np.testing.assert_array_equal(d1[0], d2[0])
+        assert d1[1] == d2[1]
+    # masking must have dropped some negatives
+    full = load_dataset_from_precomputed(emb_dir, lab_file, split=split)
+    assert sum(len(d[1]) for d in f1[0][0]) < sum(len(d[1]) for d in full[0][0])
+
+
+@pytest.mark.slow
+def test_train_fit_cli_end_to_end(tmp_path):
+    """The minimum end-to-end slice: run_radionews_unimodal.sh shape config
+    on a synthetic corpus, few epochs, check all output artifacts."""
+    corpus = tmp_path / "corpus"
+    emb_dir, lab_file, split = make_synthetic_corpus(str(corpus), n_docs=10, dim=32)
+    exp = str(tmp_path / "exp1")
+
+    from multimodaltopicsegmentation_tpu.cli.train_fit import build_parser, main
+
+    cwd = os.getcwd()
+    try:
+        args = build_parser().parse_args([
+            "-exp", exp, "-arc", "BiLSTM", "-enc", "CNN",  # CNN -> dim 30; but ours is 32
+            "-ef", emb_dir, "-lf", lab_file, "-lr", "1e-2",
+            "-bs", "4", "-max", "8", "-vp", "0.2", "-pat", "5",
+            "-loss", "FocalLoss", "-s_last", "-ar", "-as",
+            "-split", split, "-hs", "-huss", "32", "-nlss", "1",
+            "-diss", "0.0", "-doss", "0.0",
+        ])
+        # the synthetic corpus is 32-d; patch the dim table for the test
+        import multimodaltopicsegmentation_tpu.cli.train_fit as tf
+
+        tf.EMBEDDING_SIZES["CNN"] = 32
+        main(args)
+    finally:
+        os.chdir(cwd)
+
+    assert os.path.exists(os.path.join(exp, "results.txt"))
+    txt = open(os.path.join(exp, "results.txt")).read()
+    assert "Mean Pk obtained is" in txt
+    assert "Mean F1 obtained is" in txt
+    assert "Neural architecture: BiLSTM" in txt
+    # the winning checkpoint (the -s_last final one) is renamed best_model,
+    # exactly like the reference (train_fit.py:487-494)
+    assert os.path.exists(os.path.join(exp, "checkpoints", "best_model"))
+    with open(os.path.join(exp, "all_scores.json")) as f:
+        scores = json.load(f)
+    assert len(scores) == 1  # one test doc
+    with open(os.path.join(exp, "all_results.json")) as f:
+        res = json.load(f)
+    assert all("Pk" in v for v in res.values())
+    # grid CSVs
+    assert os.path.exists(os.path.join(exp, "Pk_fit_results.csv"))
+
+
+@pytest.mark.slow
+def test_train_fit_learns_on_easy_corpus(tmp_path):
+    """With clear topic structure and enough epochs, Pk should beat the
+    trivial baselines by a wide margin."""
+    corpus = tmp_path / "corpus"
+    emb_dir, lab_file, split = make_synthetic_corpus(
+        str(corpus), n_docs=12, dim=32, noise=0.05, seed=3
+    )
+    exp = str(tmp_path / "exp2")
+    from multimodaltopicsegmentation_tpu.cli.train_fit import build_parser, main
+    import multimodaltopicsegmentation_tpu.cli.train_fit as tf
+
+    tf.EMBEDDING_SIZES["CNN"] = 32
+    cwd = os.getcwd()
+    try:
+        args = build_parser().parse_args([
+            "-exp", exp, "-arc", "BiLSTM", "-enc", "CNN",
+            "-ef", emb_dir, "-lf", lab_file, "-lr", "1e-2",
+            "-bs", "4", "-max", "60", "-vp", "0.2", "-pat", "60",
+            "-loss", "FocalLoss", "-s_last",
+            "-split", split, "-hu", "32", "-nl", "1",
+        ])
+        main(args)
+    finally:
+        os.chdir(cwd)
+    txt = open(os.path.join(exp, "results.txt")).read()
+    pk = float([l for l in txt.splitlines() if "Mean Pk" in l][0].split()[-1])
+    assert pk < 0.25, f"model failed to learn: Pk={pk}"

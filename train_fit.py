@@ -1,0 +1,9 @@
+#!/usr/bin/env python
+"""Training entry point (reference CLI contract: /root/reference/train_fit.py).
+
+Thin wrapper over multimodaltopicsegmentation_tpu.cli.train_fit.
+"""
+from multimodaltopicsegmentation_tpu.cli.train_fit import cli_main
+
+if __name__ == "__main__":
+    cli_main()
