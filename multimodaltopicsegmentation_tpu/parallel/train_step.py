@@ -1,0 +1,69 @@
+"""pjit-style sharded training step.
+
+One jitted function = forward + backward + optimizer update, with
+
+- batch sharded over the mesh 'data' axis (document parallelism),
+- gate/head weights sharded over 'model' (tensor parallelism),
+- gradient reduction and activation gathers inserted by XLA as ICI
+  collectives (no hand-written NCCL analogue, per SURVEY.md §2.2).
+
+The same function runs single-device (trivial mesh) and multi-chip.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .mesh import batch_shardings, param_shardings, replicated
+
+
+def make_sharded_train_step(arch, tx, mesh: Mesh, params) -> Callable:
+    """Returns (step_fn, place_params) for data+tensor-parallel training."""
+    p_shard = param_shardings(mesh, params)
+    b_shard = batch_shardings(mesh)
+    rep = replicated(mesh)
+
+    def step(params, opt_state, src, lengths, tags, rng):
+        def loss_fn(p):
+            return arch.loss(p, src, lengths, tags, rng=rng)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    step_jit = jax.jit(
+        step,
+        in_shardings=(
+            p_shard,
+            None,  # opt_state: let XLA propagate from params
+            b_shard["src_tokens"],
+            b_shard["src_lengths"],
+            b_shard["tgt_tokens"],
+            rep,
+        ),
+        out_shardings=(p_shard, None, rep),
+        donate_argnums=(0, 1),
+    )
+
+    def place_params(params):
+        return jax.device_put(params, p_shard)
+
+    return step_jit, place_params
+
+
+def make_sharded_decode(arch, mesh: Mesh, params, threshold: float = 0.5) -> Callable:
+    """Batched sharded inference decode (documents over 'data')."""
+    p_shard = param_shardings(mesh, params)
+    b_shard = batch_shardings(mesh)
+
+    decode = jax.jit(
+        lambda p, x, l: arch.decode(p, x, l, threshold),
+        in_shardings=(p_shard, b_shard["src_tokens"], b_shard["src_lengths"]),
+    )
+    return decode
