@@ -1,0 +1,160 @@
+"""Attention ops: dense MHA and blocked sliding-window (local) attention.
+
+The reference gets sliding-window attention from HF Longformer's chunked
+CUDA path (models/longformer_noffn pyc: `_sliding_chunks_query_key_matmul`)
+after abandoning a per-position Python loop for being too slow
+(/root/reference/models/RestrictedTransformerLayer.py:192,509-636).
+
+TPU design: the 3-block banded scheme — queries chunked into blocks of
+`w/2`; each query block attends keys/values of its own + adjacent blocks,
+masked to |i-j| <= w/2. Everything is batched matmuls on the MXU with a
+static band mask; XLA fuses the softmax. A fused Pallas kernel for the same
+computation lives in pallas_attention.py; `local_attention` dispatches to it
+on TPU when shapes allow.
+
+Also here: T5-style relative position bucketing for the LongT5-style
+local attention (RestrictedTransformerLayer.py:147-159).
+"""
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+NEG_INF = -1e9
+
+
+def dense_attention(q, k, v, mask=None, bias=None):
+    """Reference MHA core. q,k,v: [B, H, L, Dh]; mask: [B, L] (1=valid);
+    bias: broadcastable to [B, H, Lq, Lk]."""
+    dh = q.shape[-1]
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) / math.sqrt(dh)
+    if bias is not None:
+        scores = scores + bias
+    if mask is not None:
+        scores = scores + (1.0 - mask[:, None, None, :]) * NEG_INF
+    w = jax.nn.softmax(scores, axis=-1)
+    return jnp.einsum("bhqk,bhkd->bhqd", w, v)
+
+
+def _band_mask(nb: int, block: int, half: int, dtype=jnp.float32) -> jnp.ndarray:
+    """[block, 3*block] additive mask allowing |global offset| <= half."""
+    qpos = np.arange(block)[:, None]
+    kpos = np.arange(3 * block)[None, :] - block
+    ok = np.abs(kpos - qpos) <= half
+    return jnp.asarray(np.where(ok, 0.0, NEG_INF), dtype)
+
+
+def local_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    window: int,
+    mask: jnp.ndarray = None,
+    bias_fn=None,
+    use_pallas: str = "auto",
+):
+    """Sliding-window attention. q,k,v: [B, H, L, Dh]; window = total span
+    (w/2 on each side, HF Longformer convention, must be even).
+
+    bias_fn: optional fn(rel_offsets [block, 3*block]) -> [H, block, 3*block]
+    additive bias (used for T5 relative-position buckets).
+    Returns [B, H, L, Dh].
+    """
+    assert window % 2 == 0, "attention window must be even"
+    B, H, L, Dh = q.shape
+    half = window // 2
+    block = max(half, 1)
+
+    if use_pallas == "auto":
+        use_pallas = jax.default_backend() == "tpu" and bias_fn is None
+    if use_pallas is True:
+        from .pallas_attention import pallas_local_attention
+
+        return pallas_local_attention(q, k, v, window, mask)
+
+    nb = -(-L // block)
+    pad = nb * block - L
+    qp = jnp.pad(q, ((0, 0), (0, 0), (0, pad), (0, 0)))
+    kp = jnp.pad(k, ((0, 0), (0, 0), (0, pad), (0, 0)))
+    vp = jnp.pad(v, ((0, 0), (0, 0), (0, pad), (0, 0)))
+    if mask is None:
+        mask = jnp.ones((B, L), q.dtype)
+    mp = jnp.pad(mask, ((0, 0), (0, pad)))
+
+    # key/value blocks with one-block halo on each side
+    kp = jnp.pad(kp, ((0, 0), (0, 0), (block, block), (0, 0)))
+    vp = jnp.pad(vp, ((0, 0), (0, 0), (block, block), (0, 0)))
+    mp_k = jnp.pad(mp, ((0, 0), (block, block)))
+
+    qb = qp.reshape(B, H, nb, block, Dh)
+
+    def gather_blocks(x):
+        # [B, H, L+2b, Dh] -> [B, H, nb, 3b, Dh]
+        idx = (
+            np.arange(nb)[:, None] * block + np.arange(3 * block)[None, :]
+        )  # [nb, 3b]
+        return x[:, :, idx, :]
+
+    kb = gather_blocks(kp)
+    vb = gather_blocks(vp)
+    idx = np.arange(nb)[:, None] * block + np.arange(3 * block)[None, :]
+    mb = mp_k[:, idx]  # [B, nb, 3b]
+
+    scores = jnp.einsum("bhnqd,bhnkd->bhnqk", qb, kb) / math.sqrt(Dh)
+    band = _band_mask(nb, block, half, scores.dtype)
+    scores = scores + band[None, None, None]
+    if bias_fn is not None:
+        rel = np.arange(3 * block)[None, :] - block - np.arange(block)[:, None]
+        scores = scores + bias_fn(jnp.asarray(rel))[None, :, None]
+    scores = scores + (1.0 - mb[:, None, :, None, :]) * NEG_INF
+    w = jax.nn.softmax(scores, axis=-1)
+    # rows fully masked (padding queries) produce uniform weights; harmless
+    out = jnp.einsum("bhnqk,bhnkd->bhnqd", w, vb)
+    out = out.reshape(B, H, nb * block, Dh)[:, :, :L]
+    return out
+
+
+# ---------------------------------------------------------------------------
+# T5 relative position buckets (for LongT5-style local attention)
+# ---------------------------------------------------------------------------
+
+
+def t5_relative_bucket(relative_position, num_buckets: int, max_distance: int):
+    """Bidirectional T5 bucketing (same math as HF T5Attention._relative_position_bucket)."""
+    rp = relative_position
+    num_buckets //= 2
+    ret = jnp.where(rp > 0, num_buckets, 0)
+    rp = jnp.abs(rp)
+    max_exact = num_buckets // 2
+    is_small = rp < max_exact
+    val_if_large = max_exact + (
+        jnp.log(rp.astype(jnp.float32) / max_exact + 1e-6)
+        / math.log(max_distance / max_exact)
+        * (num_buckets - max_exact)
+    ).astype(jnp.int32)
+    val_if_large = jnp.minimum(val_if_large, num_buckets - 1)
+    return ret + jnp.where(is_small, rp, val_if_large)
+
+
+def relative_bias_fn(bias_table: jnp.ndarray, num_buckets: int, max_distance: int):
+    """bias_table: [num_buckets, H] -> fn(rel [q,k]) -> [H, q, k]."""
+
+    def fn(rel):
+        buckets = t5_relative_bucket(rel, num_buckets, max_distance)
+        return jnp.transpose(bias_table[buckets], (2, 0, 1))
+
+    return fn
+
+
+def split_heads(x: jnp.ndarray, nheads: int) -> jnp.ndarray:
+    B, L, D = x.shape
+    return jnp.transpose(x.reshape(B, L, nheads, D // nheads), (0, 2, 1, 3))
+
+
+def merge_heads(x: jnp.ndarray) -> jnp.ndarray:
+    B, H, L, Dh = x.shape
+    return jnp.transpose(x, (0, 2, 1, 3)).reshape(B, L, H * Dh)

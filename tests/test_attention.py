@@ -1,0 +1,89 @@
+"""Local attention correctness: blocked / Pallas vs dense with a band mask."""
+import math
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from multimodaltopicsegmentation_tpu.ops import attention as A
+from multimodaltopicsegmentation_tpu.ops.pallas_attention import pallas_local_attention
+
+
+def dense_banded_reference(q, k, v, window, mask):
+    """Dense attention restricted to |i-j| <= window/2 — the semantic spec."""
+    B, H, L, Dh = q.shape
+    half = window // 2
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) / math.sqrt(Dh)
+    pos = np.arange(L)
+    band = np.abs(pos[None, :] - pos[:, None]) <= half
+    scores = scores + jnp.asarray(np.where(band, 0.0, A.NEG_INF))
+    scores = scores + (1.0 - mask[:, None, None, :]) * A.NEG_INF
+    w = jax.nn.softmax(scores, axis=-1)
+    return jnp.einsum("bhqk,bhkd->bhqd", w, v)
+
+
+def _rand_qkv(seed, B=2, H=2, L=37, Dh=8):
+    rng = np.random.default_rng(seed)
+    mk = lambda: jnp.asarray(rng.standard_normal((B, H, L, Dh)), jnp.float32)
+    return mk(), mk(), mk()
+
+
+@pytest.mark.parametrize("window,L", [(4, 16), (8, 37), (16, 16), (6, 7)])
+def test_blocked_local_matches_dense(window, L):
+    q, k, v = _rand_qkv(0, L=L)
+    B = q.shape[0]
+    lengths = np.array([L, max(L - 5, 1)])
+    mask = jnp.asarray((np.arange(L)[None, :] < lengths[:, None]).astype(np.float32))
+    ref = dense_banded_reference(q, k, v, window, mask)
+    out = A.local_attention(q, k, v, window, mask, use_pallas=False)
+    # compare only valid query positions
+    for b in range(B):
+        np.testing.assert_allclose(
+            np.asarray(out)[b, :, : lengths[b]],
+            np.asarray(ref)[b, :, : lengths[b]],
+            atol=1e-5,
+        )
+
+
+@pytest.mark.parametrize("window,L", [(4, 16), (8, 37)])
+def test_pallas_kernel_matches_dense_interpret(window, L):
+    q, k, v = _rand_qkv(1, L=L)
+    B = q.shape[0]
+    lengths = np.array([L, max(L - 3, 1)])
+    mask = jnp.asarray((np.arange(L)[None, :] < lengths[:, None]).astype(np.float32))
+    ref = dense_banded_reference(q, k, v, window, mask)
+    out = pallas_local_attention(q, k, v, window, mask, interpret=True)
+    for b in range(B):
+        np.testing.assert_allclose(
+            np.asarray(out)[b, :, : lengths[b]],
+            np.asarray(ref)[b, :, : lengths[b]],
+            atol=1e-5,
+        )
+
+
+def test_t5_bucket_symmetric_properties():
+    rel = jnp.asarray(np.arange(-20, 21))
+    b = A.t5_relative_bucket(rel, num_buckets=32, max_distance=21)
+    b = np.asarray(b)
+    assert b[20] == 0  # rel 0
+    # negative and positive offsets use distinct halves
+    assert set(b[:20]) & set(b[21:]) == set()
+    # monotone in |distance| within each side
+    assert all(np.diff(b[21:]) >= 0)
+
+
+def test_relative_bias_fn_shape():
+    table = jnp.asarray(np.random.default_rng(0).standard_normal((32, 4)), jnp.float32)
+    fn = A.relative_bias_fn(table, 32, 16)
+    rel = jnp.asarray(np.arange(-3, 4)[None, :] - np.zeros((5, 1), int))
+    out = fn(rel)
+    assert out.shape == (4, 5, 7)
+
+
+def test_heads_roundtrip():
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((2, 9, 12)), jnp.float32)
+    h = A.split_heads(x, 3)
+    assert h.shape == (2, 3, 9, 4)
+    np.testing.assert_allclose(np.asarray(A.merge_heads(h)), np.asarray(x))
