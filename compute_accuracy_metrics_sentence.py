@@ -1,0 +1,7 @@
+#!/usr/bin/env python
+"""Post-hoc metrics entry point (reference CLI contract:
+/root/reference/compute_accuracy_metrics_sentence.py)."""
+from multimodaltopicsegmentation_tpu.cli.compute_accuracy_metrics_sentence import cli_main
+
+if __name__ == "__main__":
+    cli_main()

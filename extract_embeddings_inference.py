@@ -1,0 +1,7 @@
+#!/usr/bin/env python
+"""Inference-time extraction entry point (reference CLI contract:
+/root/reference/extract_embeddings_inference.py)."""
+from multimodaltopicsegmentation_tpu.cli.extract_embeddings_inference import cli_main
+
+if __name__ == "__main__":
+    cli_main()

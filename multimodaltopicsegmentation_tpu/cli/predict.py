@@ -1,0 +1,383 @@
+"""End-to-end raw-audio -> topic-segments inference CLI.
+
+Reference contract (/root/reference/predict.py): parse architecture /
+encoder / hidden-units / layers out of a training `results.txt`
+(predict.py:168-177), load the trained checkpoint, optionally extract
+embeddings from an audio folder in-process (uniform units), run the tagger
+over every document, convert boundary vectors to sample spans
+(`segment_audio`, :92-129) and write per-segment wavs with +-1s overlap
+(:313-347). The `LogReg_Predictor` pickled-sklearn baseline is kept
+(:352-424).
+
+The embedding extraction and tagger decode are batched jitted TPU calls —
+this path is the >=10x wall-clock target in BASELINE.md.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import pickle
+import sys
+from types import SimpleNamespace
+
+import numpy as np
+
+from ..train import checkpoints as ckpt_lib
+from ..models import registry
+from ..models.base import TaggerConfig
+from ..train.data import load_dataset_for_inference, pad_batch
+from ..utils.audio import load_audio, save_wav
+
+ENCODER_DIMS = [
+    ("prosodic", 167),
+    ("openl3_std", 1024),
+    ("wav2vec_std", 1536),
+    ("x-vector", 512),
+    ("openl3", 512),
+    ("crepe_std", 512),
+    ("crepe", 256),
+    ("mfcc", 200),
+    ("ecapa", 192),
+    ("wav2vec", 768),
+]
+
+
+def encoder_dim(encoder: str) -> int:
+    for prefix, dim in ENCODER_DIMS:
+        if encoder.startswith(prefix):
+            return dim
+    raise ValueError(
+        "Encoder not recognised, use one of the available options "
+        "(x-vectors, openl3, mfcc, prosodic, crepe, ecapa or wav2vec)"
+    )
+
+
+def load_dataset_for_inference_with_names(embedding_directory):
+    files = sorted(os.listdir(embedding_directory))
+    data = load_dataset_for_inference(embedding_directory)
+    return data, files
+
+
+class BasePredictor:
+    def create_embeddings(
+        self,
+        encoder,
+        audio_directory,
+        out_directory,
+        uniform_interval=1,
+        adaptive_uniform=False,
+        verbose=False,
+        continue_from_check=True,
+    ):
+        from . import extract_embeddings_inference as eei
+
+        args = SimpleNamespace(
+            vad=False,
+            speechbrain=True,
+            ecapa=encoder.lower().startswith("ecapa"),
+            openl3=encoder.lower().startswith("openl3"),
+            wav2vec=encoder.lower().startswith("wav2vec"),
+            CREPE=encoder.lower().startswith("crepe"),
+            prosodic_feats=encoder.lower().startswith("prosodic"),
+            mfcc=encoder.lower().startswith("mfcc"),
+            audio_directory=audio_directory,
+            out_directory=out_directory,
+            uniform_interval=uniform_interval,
+            adaptive_uniform_segmentation=adaptive_uniform,
+            verbose=verbose,
+            continue_from_check=continue_from_check,
+        )
+        eei.main(args)
+
+    def segment_audio(self, audio_file, segmentation, mock_audio=None, mock_sr=None):
+        """Boundary vector -> [(start_sample, end_sample)] spans
+        (reference predict.py:92-129)."""
+        if mock_audio is not None:
+            assert mock_sr is not None, "Provide a mock sample rate to debug..."
+            x, sr = mock_audio, mock_sr
+        else:
+            x, sr = load_audio(audio_file, target_sr=self.sr)
+
+        audio_segs = []
+        prev_time = 0
+        counter = 0
+        if self.adapt:
+            for i in range(len(x) // 100, len(x) + 1, len(x) // 100):
+                if counter >= len(segmentation):
+                    break
+                if segmentation[counter]:
+                    audio_segs.append((prev_time, i))
+                    prev_time = i
+                counter += 1
+        else:
+            for i in range(self.sr * int(self.interval), len(x) + 1, self.sr * int(self.interval)):
+                try:
+                    if segmentation[counter]:
+                        audio_segs.append((prev_time, i))
+                        prev_time = i
+                    counter += 1
+                except IndexError:
+                    break
+            audio_segs.append((prev_time, len(x)))
+        return audio_segs, x
+
+
+class Predictor(BasePredictor):
+    """Neural predictor driven by a training results.txt + checkpoint."""
+
+    def __init__(
+        self,
+        hyperparameter_file,
+        best_model_path,
+        pca_reduce=False,
+        pca_value=167,
+        adaptive_uniform_interval=False,
+        uniform_interval=1,
+        original_audio_extension=".wav",
+        threshold=0.5,
+        sr=16000,
+    ):
+        encoder = architecture = None
+        hu = nl = None
+        with open(hyperparameter_file) as f:
+            for line in f.readlines():
+                if line.startswith("Sentence encoder"):
+                    encoder = line.split()[2]
+                elif line.startswith("Neural architecture"):
+                    architecture = line.split()[2]
+                elif line.startswith("Hidden units"):
+                    hu = int(line.split()[2])
+                elif line.startswith("Number of layers"):
+                    nl = int(line.split()[3])
+        self.encoder = encoder
+        self.architecture = architecture
+
+        embedding_dim = pca_value if pca_reduce else encoder_dim(encoder)
+
+        # our checkpoints carry the full config; rebuild only if absent
+        try:
+            params, cfg, arch_name, _ = ckpt_lib.load(best_model_path)
+        except Exception:
+            cfg = TaggerConfig(
+                embedding_dim=embedding_dim,
+                hidden_dim=hu,
+                num_layers=nl,
+                loss_fn="BinaryCrossEntropy",
+                threshold=threshold,
+            )
+            arch_name = architecture
+            params = None
+        self.params = params
+        self.cfg = cfg
+        self.arch = registry.build(arch_name, cfg)
+
+        self.adapt = bool(adaptive_uniform_interval)
+        self.interval = uniform_interval
+        self.ext = original_audio_extension
+        self.th = threshold
+        self.sr = sr
+
+    def predict(
+        self,
+        embedding_folder,
+        experiment_name,
+        write_audio_segments=True,
+        audio_directory=None,
+        batch_size=8,
+        num_gpus=0,
+        verbose=False,
+        add_overlap=1,
+    ):
+        import jax
+        import jax.numpy as jnp
+
+        assert not os.path.exists(experiment_name), (
+            "The name of this experiment has already been used: please change "
+            f"experiment name or delete {experiment_name}"
+        )
+        os.makedirs(experiment_name)
+
+        embeddings, file_names = load_dataset_for_inference_with_names(embedding_folder)
+        if verbose:
+            print(f"Segmenting the following files:\n{file_names}")
+
+        decode = jax.jit(lambda p, x, l: self.arch.decode(p, x, l, self.th))
+        results = []
+        docs = [(e, [0] * len(e), n) for e, n in zip(embeddings, file_names)]
+        for i in range(0, len(docs), batch_size):
+            chunk = docs[i : i + batch_size]
+            batch = pad_batch(chunk, crf=False, bucket=True)
+            scores, tags = decode(
+                self.params,
+                jnp.asarray(batch["src_tokens"]),
+                jnp.asarray(batch["src_lengths"]),
+            )
+            tags = np.asarray(tags)
+            for j in range(len(chunk)):
+                L = int(batch["src_lengths"][j])
+                results.append(tags[j][:L].astype(int).tolist())
+
+        if write_audio_segments:
+            assert audio_directory is not None, (
+                "If segmenting the input audio, provide the audio directory"
+            )
+            seg_dir = os.path.join(experiment_name, "audio_segments")
+            os.makedirs(seg_dir)
+            for index, file in enumerate(file_names):
+                audio_file = os.path.join(audio_directory, file[:-4] + self.ext)
+                assert os.path.exists(audio_file), (
+                    f"Could not find the audio file for embedding {file}"
+                )
+                if sum(results[index]) == 0:
+                    print(
+                        f"Warning: no segment identified in {file}! "
+                        "No audio segments written for this file."
+                    )
+                    continue
+                audio_segments, audio = self.segment_audio(audio_file, results[index])
+                for index_seg, seg in enumerate(audio_segments):
+                    offset_start = offset_end = 0
+                    if add_overlap:
+                        offset = add_overlap * self.sr
+                        offset_start, offset_end = (
+                            (offset, offset) if index_seg else (0, offset)
+                        )
+                    save_wav(
+                        os.path.join(seg_dir, file[:-4] + str(index_seg) + ".wav"),
+                        audio[max(seg[0] - offset_start, 0) : seg[1] + offset_end],
+                        self.sr,
+                    )
+        with open(os.path.join(experiment_name, "results.pkl"), "wb") as f:
+            pickle.dump(dict(zip(file_names, results)), f)
+        return results
+
+
+class LogReg_Predictor(BasePredictor):
+    """Pickled-sklearn baseline (reference predict.py:352-424)."""
+
+    def __init__(
+        self,
+        best_model_path,
+        adaptive_uniform_interval=False,
+        uniform_interval=1,
+        original_audio_extension=".wav",
+        threshold=0.5,
+        sr=16000,
+    ):
+        with open(best_model_path, "rb") as f:
+            self.model = pickle.load(f)
+        self.encoder = "prosodic"
+        self.adapt = bool(adaptive_uniform_interval)
+        self.interval = uniform_interval
+        self.ext = original_audio_extension
+        self.th = threshold
+        self.sr = sr
+
+    def predict(
+        self,
+        embedding_folder,
+        experiment_name,
+        write_audio_segments=True,
+        audio_directory=None,
+        batch_size=1,
+        num_gpus=0,
+        verbose=False,
+    ):
+        assert not os.path.exists(experiment_name)
+        os.makedirs(experiment_name)
+        results = {}
+        for file in sorted(os.listdir(embedding_folder)):
+            emb = np.load(os.path.join(embedding_folder, file))
+            pred = self.model.predict(emb) > self.th
+            results[file] = pred.astype(int).tolist()
+            if write_audio_segments:
+                audio_segs, audio = self.segment_audio(
+                    os.path.join(audio_directory, file[:-4] + self.ext), results[file]
+                )
+                for i, seg in enumerate(audio_segs):
+                    save_wav(
+                        os.path.join(experiment_name, file[:-4] + str(i) + ".wav"),
+                        audio[seg[0] : seg[1]],
+                        self.sr,
+                    )
+        with open(os.path.join(experiment_name, "results.pkl"), "wb") as f:
+            pickle.dump(results, f)
+        return results
+
+
+class MyParser(argparse.ArgumentParser):
+    def error(self, message):
+        sys.stderr.write("error: %s\n" % message)
+        self.print_help()
+        sys.exit(2)
+
+
+def build_parser():
+    parser = MyParser(description="Raw audio -> topic segments inference")
+    parser.add_argument("--extract_embeddings", "-ee", action="store_true")
+    parser.add_argument("--embedding_folder", "-ef", type=str, required=True)
+    parser.add_argument("--hyperparameter_file", "-hyp", type=str)
+    parser.add_argument("--best_model_path", "-model", type=str)
+    parser.add_argument("--experiment_name", "-exp", default="new_experiment", type=str)
+    parser.add_argument("--batch_size", "-bs", default=8, type=int)
+    parser.add_argument("--num_gpus", "-gpus", default=0, type=int)
+    parser.add_argument("--verbose", "-v", action="store_true")
+    parser.add_argument("--audio_folder", "-af", type=str)
+    parser.add_argument("--pca_reduce", "-pca", action="store_true")
+    parser.add_argument("--pca_value", "-pca_v", default=167, type=int)
+    parser.add_argument("--logistic_regression_baseline", "-lgr", action="store_true")
+    parser.add_argument("--uniform_interval", "-ui", default=1, type=float)
+    parser.add_argument("--adaptive_uniform", "-aus", action="store_true")
+    parser.add_argument("--threshold", "-th", default=0.5, type=float)
+    parser.add_argument("--return_just_segmentation", "-rjs", action="store_false")
+    return parser
+
+
+def cli_main(argv=None):
+    args = build_parser().parse_args(argv)
+    if args.logistic_regression_baseline:
+        predictor = LogReg_Predictor(
+            args.best_model_path,
+            adaptive_uniform_interval=args.adaptive_uniform,
+            uniform_interval=args.uniform_interval,
+        )
+    else:
+        predictor = Predictor(
+            args.hyperparameter_file,
+            args.best_model_path,
+            args.pca_reduce,
+            args.pca_value,
+            adaptive_uniform_interval=args.adaptive_uniform,
+            uniform_interval=args.uniform_interval,
+            threshold=args.threshold,
+        )
+
+    if args.extract_embeddings:
+        predictor.create_embeddings(
+            predictor.encoder,
+            args.audio_folder,
+            args.embedding_folder,
+            args.uniform_interval,
+            args.adaptive_uniform,
+            args.verbose,
+            True,
+        )
+        pooling_idx = predictor.encoder.find("_")
+        if pooling_idx > -1:
+            args.embedding_folder = os.path.join(
+                args.embedding_folder, predictor.encoder[pooling_idx:]
+            )
+
+    return predictor.predict(
+        args.embedding_folder,
+        args.experiment_name,
+        write_audio_segments=args.return_just_segmentation,
+        audio_directory=args.audio_folder,
+        batch_size=args.batch_size,
+        num_gpus=args.num_gpus,
+        verbose=args.verbose,
+    )
+
+
+if __name__ == "__main__":
+    cli_main()

@@ -1,0 +1,106 @@
+"""YIN fundamental-frequency estimation with voicing intensity, jitted.
+
+The reference's prosodic features come from a modified librosa pyin that
+also returns a per-frame voicing intensity
+(/root/reference/extract_acoustic_features.py:1-10,75), thresholded at 0.5
+to detect pauses. Here:
+
+- the YIN difference function is computed for all frames at once via the
+  standard cumulative-energy + FFT-autocorrelation identity
+  d[tau] = r[0] + r_tau[0] - 2*acf[tau] (one batched rfft — no numba),
+- CMNDF normalization, absolute threshold trough selection and parabolic
+  interpolation follow the YIN paper (de Cheveigne & Kawahara 2002),
+- voicing intensity := 1 - min(CMNDF) clamped to [0, 1] — the aperiodicity
+  complement used as the voicing proxy (the reference's pyin derives the
+  same quantity through its HMM; both land in [0,1] with voiced frames
+  near 1), NaN f0 for unvoiced frames like pyin.
+
+Everything is [n_frames, ...] batched; tau search ranges are static from
+(fmin, fmax).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .spectral import frame_signal
+
+
+@partial(jax.jit, static_argnames=("sr", "fmin", "fmax", "frame_length", "hop", "threshold"))
+def yin(
+    y: jnp.ndarray,
+    sr: int,
+    fmin: float = 70.0,
+    fmax: float = 500.0,
+    frame_length: int = 2048,
+    hop: int = 512,
+    threshold: float = 0.1,
+):
+    """Returns (f0 [n_frames] with NaN for unvoiced, voicing [n_frames])."""
+    frames = frame_signal(y, frame_length, hop)  # [T, W]
+    T, W = frames.shape
+    tau_min = max(int(sr / fmax), 1)
+    tau_max = min(int(sr / fmin) + 1, W // 2)
+
+    # difference function via autocorrelation:
+    # d[tau] = sum_{j<W-tau} (x_j - x_{j+tau})^2
+    #        = e[W-tau-1] + (E - e[tau-1]) - 2*acf[tau]   (windowed halves)
+    n_fft = int(2 ** np.ceil(np.log2(2 * W)))
+    spec = jnp.fft.rfft(frames, n=n_fft, axis=-1)
+    acf = jnp.fft.irfft(spec * jnp.conj(spec), n=n_fft, axis=-1)[:, : W // 2 + 1]
+
+    sq = frames**2
+    csum = jnp.cumsum(sq, axis=-1)  # e[k] = sum_{j<=k} x_j^2
+    total = csum[:, -1:]
+    taus = np.arange(0, W // 2 + 1)
+    # energy of x[0 : W-tau] and x[tau : W]
+    e_head = csum[:, W - 1 - taus]
+    e_tail = total - jnp.where(taus > 0, csum[:, np.maximum(taus - 1, 0)], 0.0)
+    d = e_head + e_tail - 2.0 * acf
+    d = jnp.maximum(d, 0.0)
+
+    # cumulative mean normalized difference
+    cum = jnp.cumsum(d[:, 1:], axis=-1)
+    tau_range = jnp.asarray(np.arange(1, W // 2 + 1), d.dtype)
+    cmndf = jnp.concatenate(
+        [jnp.ones((T, 1), d.dtype), d[:, 1:] * tau_range / jnp.maximum(cum, 1e-12)],
+        axis=-1,
+    )
+
+    band = cmndf[:, tau_min:tau_max]  # [T, n_tau]
+    n_tau = tau_max - tau_min
+
+    # YIN absolute threshold: first crossing below threshold, then descend
+    # to the local minimum of that trough; fall back to the global min
+    below = band < threshold
+    first_below = jnp.argmax(below, axis=-1)
+    any_below = jnp.any(below, axis=-1)
+    nxt = jnp.concatenate(
+        [band[:, 1:], jnp.full((T, 1), jnp.inf, band.dtype)], axis=-1
+    )
+    pos = jnp.asarray(np.arange(n_tau))
+    at_local_min = (band <= nxt) & (pos[None, :] >= first_below[:, None])
+    trough = jnp.argmax(at_local_min, axis=-1)
+    global_min = jnp.argmin(band, axis=-1)
+    tau_idx = jnp.where(any_below, trough, global_min)
+
+    # parabolic interpolation around the chosen trough
+    tau_abs = tau_idx + tau_min
+    ym1 = jnp.take_along_axis(cmndf, jnp.maximum(tau_abs - 1, 1)[:, None], axis=1)[:, 0]
+    y0 = jnp.take_along_axis(cmndf, tau_abs[:, None], axis=1)[:, 0]
+    yp1 = jnp.take_along_axis(
+        cmndf, jnp.minimum(tau_abs + 1, W // 2)[:, None], axis=1
+    )[:, 0]
+    denom = 2.0 * (ym1 - 2.0 * y0 + yp1)
+    shift = jnp.where(jnp.abs(denom) > 1e-12, (ym1 - yp1) / denom, 0.0)
+    shift = jnp.clip(shift, -0.5, 0.5)
+    tau_refined = tau_abs.astype(d.dtype) + shift
+
+    f0 = sr / jnp.maximum(tau_refined, 1e-6)
+    voicing = jnp.clip(1.0 - jnp.min(band, axis=-1), 0.0, 1.0)
+    voiced = voicing >= 0.5
+    f0 = jnp.where(voiced, f0, jnp.nan)
+    return f0, voicing

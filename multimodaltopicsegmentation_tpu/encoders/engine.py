@@ -1,0 +1,155 @@
+"""Batched unit-encoding engine.
+
+The reference encodes one unit at a time through host-side encoder calls —
+the dominant predict-path cost (extract_embeddings_inference.py:406-408,
+serial joblib loop). Here a document's units are packed into padded [U, S]
+device batches and encoded in a few jitted calls:
+
+- unit-level encoders (prosodic 167-d, mfcc 200-d) run through the batched
+  DSP front-end (dsp/prosody.py); prosodic chunks carry one unit of left
+  context so pitch-jump chains survive chunking;
+- frame-level encoders (wav2vec2) run the jitted transformer over unit
+  chunks and slice each unit's valid frames.
+
+Encoders with unavailable pretrained weights raise actionable errors unless
+MTS_RANDOM_ENCODER_WEIGHTS=1 (smoke-test mode, clearly logged).
+"""
+from __future__ import annotations
+
+import os
+from typing import List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .engine_util import pad_units as _pad_units
+
+SR = 16000
+
+
+class ProsodicEncoder:
+    name = "prosodic"
+    dim = 167
+    frame_level = False
+
+    def encode_document(self, audio, bounds, chunk=256):
+        from ..dsp.prosody import prosodic_features
+
+        units, lens = _pad_units(audio, bounds)
+        outs = []
+        i = 0
+        while i < len(bounds):
+            lo = max(i - 1, 0)  # one unit of left context for pitch jumps
+            hi = min(i + chunk, len(bounds))
+            feats = np.asarray(
+                prosodic_features(jnp.asarray(units[lo:hi]), jnp.asarray(lens[lo:hi]), SR)
+            )
+            outs.append(feats[i - lo :])
+            i = hi
+        return [f for f in np.concatenate(outs, axis=0)]
+
+
+class MFCCEncoder:
+    name = "mfcc"
+    dim = 200
+    frame_level = False
+
+    def encode_document(self, audio, bounds, chunk=256):
+        from ..dsp.prosody import mfcc_features
+
+        units, lens = _pad_units(audio, bounds)
+        outs = []
+        for i in range(0, len(bounds), chunk):
+            feats = np.asarray(
+                mfcc_features(
+                    jnp.asarray(units[i : i + chunk]), jnp.asarray(lens[i : i + chunk]), SR
+                )
+            )
+            outs.append(feats)
+        return [f for f in np.concatenate(outs, axis=0)]
+
+
+class Wav2Vec2Encoder:
+    name = "wav2vec"
+    dim = 768
+    frame_level = True
+
+    def __init__(self, name_or_path: str = "facebook/wav2vec2-base-960h"):
+        from . import wav2vec2 as W
+
+        if os.environ.get("MTS_RANDOM_ENCODER_WEIGHTS") == "1":
+            print(
+                "WARNING: MTS_RANDOM_ENCODER_WEIGHTS=1 — wav2vec2 runs with "
+                "RANDOM weights (smoke-test mode, embeddings are meaningless)"
+            )
+            self.cfg = W.Wav2Vec2Config.base()
+            self.params = W.init_params(jax.random.PRNGKey(0), self.cfg)
+        else:
+            self.params, self.cfg = W.load_pretrained(name_or_path)
+        self._apply = jax.jit(
+            lambda a, l: W.apply(self.params, self.cfg, a, l)
+        )
+        self._W = W
+
+    def encode_document(self, audio, bounds, chunk=256):
+        units, lens = _pad_units(audio, bounds)
+        outs: List[np.ndarray] = []
+        for i in range(0, len(bounds), chunk):
+            u = jnp.asarray(units[i : i + chunk])
+            l = jnp.asarray(lens[i : i + chunk])
+            frames = np.asarray(self._apply(u, l))
+            for row, n in zip(frames, lens[i : i + chunk]):
+                t = self._W.feature_extractor_output_length(self.cfg, int(n))
+                outs.append(row[: max(t, 1)])
+        return outs
+
+
+class _WeightlessEncoder:
+    """Placeholder for encoders whose pretrained stacks cannot be fetched in
+    this environment (x-vector/ECAPA via SpeechBrain, OpenL3 via TF, CREPE).
+    The architectures live in encoders/tdnn.py / openl3.py; weight import
+    hooks are documented there."""
+
+    def __init__(self, name, dim, frame_level=False):
+        self.name = name
+        self.dim = dim
+        self.frame_level = frame_level
+
+    def encode_document(self, audio, bounds, chunk=256):
+        if os.environ.get("MTS_RANDOM_ENCODER_WEIGHTS") != "1":
+            raise RuntimeError(
+                f"encoder '{self.name}' needs pretrained weights that are not "
+                "available in this environment (no network egress). Use "
+                "prosodic/mfcc (weight-free) or wav2vec with a local "
+                "checkpoint, or set MTS_RANDOM_ENCODER_WEIGHTS=1 for a "
+                "random-weight smoke test."
+            )
+        from .tdnn import RandomProjectionEncoder
+
+        return RandomProjectionEncoder(self.dim, self.frame_level).encode_document(
+            audio, bounds, chunk
+        )
+
+
+def build_encoder(args) -> object:
+    """Encoder selection mirroring the reference's flag priority
+    (extract_embeddings.py:140-197: ecapa > openl3 > prosodic > mfcc >
+    wav2vec > CREPE > x-vectors default)."""
+    if getattr(args, "ecapa", False):
+        from .tdnn import EcapaEncoder
+
+        return EcapaEncoder()
+    if getattr(args, "openl3", False):
+        return _WeightlessEncoder("openl3", 512)
+    if getattr(args, "prosodic_feats", False):
+        return ProsodicEncoder()
+    if getattr(args, "mfcc", False):
+        return MFCCEncoder()
+    if getattr(args, "wav2vec", False):
+        return Wav2Vec2Encoder()
+    if getattr(args, "CREPE", False):
+        return _WeightlessEncoder("crepe", 256, frame_level=True)
+    from .tdnn import XVectorEncoder
+
+    return XVectorEncoder()

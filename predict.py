@@ -1,0 +1,6 @@
+#!/usr/bin/env python
+"""Inference entry point (reference CLI contract: /root/reference/predict.py)."""
+from multimodaltopicsegmentation_tpu.cli.predict import cli_main
+
+if __name__ == "__main__":
+    cli_main()
