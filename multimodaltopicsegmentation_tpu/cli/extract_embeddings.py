@@ -222,7 +222,10 @@ def main(args):
 
         if verbose:
             print(f"Encoding {len(bounds)} units of {audio_paths[index]}")
-        unit_embs = encoder.encode_document(audio, bounds)
+        from ..utils import profiling
+
+        with profiling.stage("encode_document"):
+            unit_embs = encoder.encode_document(audio, bounds)
         assert len(unit_embs) == len(segmentation), "Something went wrong!"
 
         if encoder.frame_level:

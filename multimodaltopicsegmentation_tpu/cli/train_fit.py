@@ -299,6 +299,7 @@ def main(args):
                 attention_window=args.self_attention_window,
                 positional_encoding=args.positional_encoding,
                 switch="dense",
+                cosine_loss=args.cosine_loss,
             )
 
             trainer = Trainer(
@@ -318,10 +319,13 @@ def main(args):
                 zero_baseline=args.zero_baseline,
             )
 
+            from ..utils import profiling
+
             if not args.infer:
-                final_params, _ = trainer.fit(
-                    train_loader, None if args.no_validation else valid_loader
-                )
+                with profiling.stage("fit"), profiling.device_trace():
+                    final_params, _ = trainer.fit(
+                        train_loader, None if args.no_validation else valid_loader
+                    )
                 threshold = (
                     args.threshold
                     if args.threshold
@@ -342,7 +346,8 @@ def main(args):
             params, _, _, _ = ckpt_lib.load(trainer.best_model_path)
             # reference always passes the (filename-parsed or explicit) threshold
             trainer.threshold = threshold
-            res, per_doc, scores = trainer.test(params, test_loader)
+            with profiling.stage("test"):
+                res, per_doc, scores = trainer.test(params, test_loader)
             results.append([res])
             fold_results.append(res)
 
@@ -475,6 +480,10 @@ def main(args):
         with open("results.txt", "w") as f:
             for line in output:
                 f.write("\n" + line + "\n")
+
+    from ..utils import profiling as _prof
+
+    _prof.maybe_print_report()
 
     if args.hyperparameters_search:
         import pandas as pd

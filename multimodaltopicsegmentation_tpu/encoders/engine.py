@@ -141,7 +141,12 @@ def build_encoder(args) -> object:
 
         return EcapaEncoder()
     if getattr(args, "openl3", False):
-        return _WeightlessEncoder("openl3", 512)
+        from .openl3 import OpenL3Encoder
+
+        # training used mel128/env, inference mel256/music
+        # (extract_embeddings.py:147 vs extract_embeddings_inference.py:107)
+        n_mels = 256 if getattr(args, "_inference_variant", False) else 128
+        return OpenL3Encoder(n_mels=n_mels)
     if getattr(args, "prosodic_feats", False):
         return ProsodicEncoder()
     if getattr(args, "mfcc", False):
@@ -149,7 +154,9 @@ def build_encoder(args) -> object:
     if getattr(args, "wav2vec", False):
         return Wav2Vec2Encoder()
     if getattr(args, "CREPE", False):
-        return _WeightlessEncoder("crepe", 256, frame_level=True)
+        from .crepe import CrepeEncoder
+
+        return CrepeEncoder()
     from .tdnn import XVectorEncoder
 
     return XVectorEncoder()

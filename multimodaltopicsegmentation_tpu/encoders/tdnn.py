@@ -72,6 +72,8 @@ def _bn(p, x, eps=1e-5):
 # x-vector
 # ---------------------------------------------------------------------------
 
+ECAPA_DILATIONS = (2, 3, 4)
+
 XVEC_LAYERS = (
     # (kernel, dilation, out)
     (5, 1, 512),
@@ -135,7 +137,7 @@ def ecapa_init(rng, n_mels: int = 80, channels: int = 512, emb_dim: int = 192,
          "stem_bn": {"scale": jnp.ones((channels,)), "bias": jnp.zeros((channels,))},
          "blocks": []}
     width = channels // scale
-    for dil in (2, 3, 4):
+    for _dil in ECAPA_DILATIONS:
         block = {
             "in": conv(next(keys), 1, channels, channels),
             "convs": [conv(next(keys), 3, width, width) for _ in range(scale - 1)],
@@ -143,7 +145,6 @@ def ecapa_init(rng, n_mels: int = 80, channels: int = 512, emb_dim: int = 192,
             "se1": conv(next(keys), 1, channels, 128),
             "se2": conv(next(keys), 1, 128, channels),
             "bn": {"scale": jnp.ones((channels,)), "bias": jnp.zeros((channels,))},
-            "dilation": dil,
         }
         p["blocks"].append(block)
     cat = channels * 3
@@ -162,7 +163,8 @@ def ecapa_apply(params: dict, feats: jnp.ndarray, frame_mask: jnp.ndarray,
     x = _bn(params["stem_bn"], x)
 
     outs = []
-    for block in params["blocks"]:
+    for bi, block in enumerate(params["blocks"]):
+        dilation = ECAPA_DILATIONS[bi]
         res = x
         h = jax.nn.relu(_conv1d_ncl(x, block["in"]["w"], block["in"]["b"]))
         chunks = jnp.split(h, scale, axis=-1)
@@ -170,7 +172,7 @@ def ecapa_apply(params: dict, feats: jnp.ndarray, frame_mask: jnp.ndarray,
         prev = None
         for i, conv in enumerate(block["convs"]):
             inp = chunks[i + 1] if prev is None else chunks[i + 1] + prev
-            prev = jax.nn.relu(_conv1d_ncl(inp, conv["w"], conv["b"], dilation=block["dilation"]))
+            prev = jax.nn.relu(_conv1d_ncl(inp, conv["w"], conv["b"], dilation=dilation))
             ys.append(prev)
         h = jnp.concatenate(ys, axis=-1)
         h = jax.nn.relu(_conv1d_ncl(h, block["out"]["w"], block["out"]["b"]))

@@ -50,6 +50,8 @@ class TaggerConfig:
     embedding_dim2: int = 0
     # SwitchBiLSTM adaptation mode: 'dense' | 'lstm'
     switch: str = "dense"
+    # auxiliary segment-coherence cosine loss, weighted 0.1 (reference -cos)
+    cosine_loss: bool = False
     dtype: object = jnp.float32
 
 

@@ -95,8 +95,14 @@ class BiLSTMTagger:
         return linear(params["cls"], h)
 
     def loss(self, params, x, lengths, tags, rng=None) -> jnp.ndarray:
-        logits = self.scores(params, x, lengths, train=True, rng=rng)
-        return head_loss(self.cfg, logits, lengths, tags)
+        h = rnn_stack_apply(params["rnn"], self.cfg, x, lengths, train=True, rng=rng)
+        logits = linear(params["cls"], h)
+        loss = head_loss(self.cfg, logits, lengths, tags)
+        if self.cfg.cosine_loss:
+            from ..ops.cosine_loss import cosine_segment_loss
+
+            loss = loss + 0.1 * cosine_segment_loss(h, lengths, tags)
+        return loss
 
     def decode(self, params, x, lengths, threshold: float):
         logits = self.scores(params, x, lengths)
@@ -119,17 +125,26 @@ class BiLSTMLateFusion:
         }
 
     def scores(self, params, x, lengths, train=False, rng=None, x2=None) -> jnp.ndarray:
+        return linear(params["cls"], self._hidden(params, x, lengths, train, rng, x2))
+
+    def _hidden(self, params, x, lengths, train, rng, x2):
         if rng is not None:
             r1, r2 = jax.random.split(rng)
         else:
             r1 = r2 = None
         h1 = rnn_stack_apply(params["rnn1"], self.cfg, x, lengths, train, r1)
         h2 = rnn_stack_apply(params["rnn2"], self.cfg, x2, lengths, train, r2)
-        return linear(params["cls"], jnp.concatenate([h1, h2], axis=-1))
+        return jnp.concatenate([h1, h2], axis=-1)
 
     def loss(self, params, x, lengths, tags, rng=None, x2=None) -> jnp.ndarray:
-        logits = self.scores(params, x, lengths, train=True, rng=rng, x2=x2)
-        return head_loss(self.cfg, logits, lengths, tags)
+        h = self._hidden(params, x, lengths, True, rng, x2)
+        logits = linear(params["cls"], h)
+        loss = head_loss(self.cfg, logits, lengths, tags)
+        if self.cfg.cosine_loss:
+            from ..ops.cosine_loss import cosine_segment_loss
+
+            loss = loss + 0.1 * cosine_segment_loss(h, lengths, tags)
+        return loss
 
     def decode(self, params, x, lengths, threshold: float, x2=None):
         logits = self.scores(params, x, lengths, x2=x2)
