@@ -33,6 +33,8 @@ def main(args):
     os.makedirs(args.out_directory, exist_ok=True)
     existent_files = os.listdir(args.out_directory)
 
+    # inference uses the mel256/music OpenL3 variant (reference quirk)
+    args._inference_variant = True
     encoder = build_encoder(args)
 
     audio_paths, filenames = [], []
