@@ -1,0 +1,92 @@
+"""Sequence (context) parallelism for local attention.
+
+The reference's long-sequence story is windowed attention + truncation to
+3600 units (SURVEY.md §5). Because attention is LOCAL, sharding the unit
+axis across chips only needs a one-window halo exchange with ring
+neighbors — no ring attention / Ulysses machinery:
+
+  each shard holds L/n units; before attending, it receives the last
+  `w/2` positions of the left neighbor and the first `w/2` of the right
+  neighbor via `lax.ppermute` over the ICI mesh axis, runs the same
+  blocked local-attention kernel on [halo | shard | halo], and keeps the
+  center slice.
+
+`sequence_sharded_local_attention` is written against a named mesh axis
+inside `shard_map`; results are bit-comparable to single-device local
+attention (tests run on the 8-virtual-device CPU mesh).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops.attention import local_attention
+
+
+def _halo_exchange(x: jnp.ndarray, halo: int, axis_name: str):
+    """x: [B, H, Lshard, Dh] -> (left_halo, right_halo) from ring neighbors."""
+    n = lax.axis_size(axis_name)
+    # send my first `halo` positions to the left neighbor (they become its
+    # right halo), and my last `halo` to the right neighbor (its left halo)
+    right_perm = [(i, (i + 1) % n) for i in range(n)]
+    left_perm = [(i, (i - 1) % n) for i in range(n)]
+    left_halo = lax.ppermute(x[:, :, -halo:], axis_name, right_perm)
+    right_halo = lax.ppermute(x[:, :, :halo], axis_name, left_perm)
+    return left_halo, right_halo
+
+
+def _shard_body(q, k, v, mask, window: int, axis_name: str):
+    """Runs inside shard_map: q/k/v [B, H, Lshard, Dh], mask [B, Lshard]."""
+    halo = window // 2
+    idx = lax.axis_index(axis_name)
+    n = lax.axis_size(axis_name)
+
+    kl, kr = _halo_exchange(k, halo, axis_name)
+    vl, vr = _halo_exchange(v, halo, axis_name)
+    ml, mr = _halo_exchange(mask[:, None, :, None].astype(k.dtype), halo, axis_name)
+    ml = ml[:, 0, :, 0]
+    mr = mr[:, 0, :, 0]
+
+    # edge shards have no real neighbor: mask the wrapped halos out
+    ml = jnp.where(idx == 0, 0.0, ml)
+    mr = jnp.where(idx == n - 1, 0.0, mr)
+
+    k_ext = jnp.concatenate([kl, k, kr], axis=2)
+    v_ext = jnp.concatenate([vl, v, vr], axis=2)
+    m_ext = jnp.concatenate([ml, mask, mr], axis=1)
+    # queries: only the center slice is real; pad halo-query slots so the
+    # blocked kernel sees aligned positions, then slice the center back out
+    q_ext = jnp.concatenate([jnp.zeros_like(kl), q, jnp.zeros_like(kr)], axis=2)
+
+    out = local_attention(q_ext, k_ext, v_ext, window, m_ext, use_pallas=False)
+    return out[:, :, halo:-halo]
+
+
+def sequence_sharded_local_attention(
+    mesh: Mesh,
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    window: int,
+    mask: jnp.ndarray,
+    axis: str = "data",
+):
+    """q,k,v: [B, H, L, Dh] with L divisible by mesh.shape[axis]."""
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
+
+    spec = P(None, None, axis, None)
+    mspec = P(None, axis)
+    fn = shard_map(
+        partial(_shard_body, window=window, axis_name=axis),
+        mesh=mesh,
+        in_specs=(spec, spec, spec, mspec),
+        out_specs=spec,
+    )
+    return fn(q, k, v, mask)
