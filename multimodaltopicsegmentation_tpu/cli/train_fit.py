@@ -259,7 +259,13 @@ def main(args):
     best_results = {"F1": 0, "Pk": 1, "WD": 1}
     if args.metric.lower() == "b":
         best_results["B"] = 0
-    best_results_val = 1 if args.metric in ("WD", "Pk") or not args.search_threshold else 0
+    # the reference initializes this to 1 (train_fit.py:101), which silently
+    # drops any configuration whose monitored loss is >= 1 (e.g. CRF NLL) —
+    # never hit by its focal-loss scripts but a landmine; use +inf for the
+    # minimized case instead
+    best_results_val = (
+        float("inf") if args.metric in ("WD", "Pk") or not args.search_threshold else 0
+    )
     best_hu = best_nl = best_dropin = best_dropout = None
     all_results, all_scores = {}, {}
     confidence = {}

@@ -332,9 +332,11 @@ class Trainer:
                         loss_wd += M.compute_Pk(tag, target)
                 if scores_np.ndim == 3:
                     doc_scores = scores_np[i][:L, 0]
-                else:
+                elif scores_np.ndim == 2:
                     doc_scores = scores_np[i][:L]
-                all_scores.append(np.asarray(doc_scores, np.float64))
+                else:  # CRF decode: one Viterbi score per document
+                    doc_scores = scores_np[i]
+                all_scores.append(np.atleast_1d(np.asarray(doc_scores, np.float64)))
 
         if self.metric.lower() in ("b", "scaiano"):
             results = {
