@@ -342,6 +342,15 @@ def main(args):
                     if args.threshold
                     else ckpt_lib.parse_checkpoint_name(trainer.best_model_path)[1]
                 )
+                if args.search_threshold and valid_loader and not args.no_validation:
+                    # working -sth: pick the threshold on validation docs
+                    # (the reference's own search path is dead code)
+                    ckpt_params, _, _, _ = ckpt_lib.load(trainer.best_model_path)
+                    threshold, sth_val = trainer.search_threshold(ckpt_params, valid_loader)
+                    with open("logs", "a") as f:
+                        f.write(
+                            f"Threshold search: best={threshold} ({args.metric}={sth_val:.4f})\n"
+                        )
                 if args.no_validation or args.save_last_epoch:
                     trainer.save_final(final_params)
             else:

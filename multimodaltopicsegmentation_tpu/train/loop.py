@@ -370,6 +370,55 @@ class Trainer:
                 per_doc.append(dict(results))
         return results, per_doc, all_scores
 
+    def search_threshold(self, params, valid_batches: List[dict]):
+        """Search the decode threshold on validation documents.
+
+        The reference's -sth path collects validation scores but its test
+        branch is NotImplemented (lightning_model.py:569-574); this is the
+        working equivalent: evaluate the reference's candidate grid
+        {.05,.1,.2,.3,.4,.5,.6} on the monitored metric and return the best.
+        """
+        candidates = [0.05, 0.1, 0.2, 0.3, 0.4, 0.5, 0.6]
+        arch = self.arch
+        decode_scores = jax.jit(lambda p, x, l: arch.decode(p, x, l, 0.5)[0])
+        docs = []
+        for batch in valid_batches:
+            scores = np.asarray(
+                decode_scores(
+                    params,
+                    jnp.asarray(batch["src_tokens"]),
+                    jnp.asarray(batch["src_lengths"]),
+                )
+            )
+            for i in range(batch.get("n_real", len(batch["src_lengths"]))):
+                L = int(batch["src_lengths"][i])
+                s = scores[i][:L, 0] if scores.ndim == 3 else scores[i][:L]
+                t = np.asarray(batch["tgt_tokens"][i][:L]).astype(int)
+                docs.append((s, t))
+
+        minimize = self.metric in ("Pk", "WD")
+        best_th, best_val = 0.5, float("inf") if minimize else -float("inf")
+        for th in candidates:
+            vals = []
+            for s, t in docs:
+                if self.cfg.loss_fn == "CrossEntropy":
+                    pred = (s > th).astype(int)  # scores are class-1 logits
+                else:
+                    pred = (1.0 / (1.0 + np.exp(-s)) > th).astype(int)
+                if self.metric == "F1":
+                    vals.append(M.boundary_f1(t.tolist(), pred.tolist()))
+                elif self.metric == "WD":
+                    try:
+                        vals.append(M.compute_window_diff(pred.tolist(), t.tolist()))
+                    except AssertionError:
+                        vals.append(M.compute_Pk(pred.tolist(), t.tolist()))
+                else:
+                    vals.append(M.compute_Pk(pred.tolist(), t.tolist()))
+            v = float(np.mean(vals)) if vals else (1.0 if minimize else 0.0)
+            if (minimize and v < best_val) or (not minimize and v > best_val):
+                best_val, best_th = v, th
+        return best_th, best_val
+
     def predict(self, params, batches: List[dict], threshold: float = 0.5):
         """Raw tag lists per document (reference predict_step)."""
         arch = self.arch

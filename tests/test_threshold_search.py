@@ -1,0 +1,33 @@
+"""Working -sth threshold search on validation documents."""
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from multimodaltopicsegmentation_tpu.models.base import TaggerConfig
+from multimodaltopicsegmentation_tpu.train.data import batches
+from multimodaltopicsegmentation_tpu.train.loop import Trainer
+from tests.synth import make_synthetic_corpus
+from multimodaltopicsegmentation_tpu.train.data import load_dataset_from_precomputed
+
+
+def test_threshold_search_returns_candidate(tmp_path):
+    emb_dir, lab_file, split = make_synthetic_corpus(str(tmp_path), n_docs=8, dim=16, noise=0.05)
+    folds = load_dataset_from_precomputed(emb_dir, lab_file, split=split)
+    train, test, val = folds[0]
+    tb = list(batches(train, 4, crf=False, truncate=False, truncate_value=100))
+    vb = list(batches(val, 4, crf=False, truncate=False, truncate_value=100))
+
+    cfg = TaggerConfig(embedding_dim=16, hidden_dim=16, num_layers=1, loss_fn="FocalLoss")
+    tr = Trainer("BiLSTM", cfg, lr=1e-2, max_epochs=25, patience=50,
+                 monitor="val_loss", check_dir=str(tmp_path / "ck"))
+    params, _ = tr.fit(tb, vb)
+    th, val_pk = tr.search_threshold(params, vb)
+    assert th in (0.05, 0.1, 0.2, 0.3, 0.4, 0.5, 0.6)
+    assert 0.0 <= val_pk <= 1.0
+    # searched threshold should not do worse than default 0.5 on validation
+    tr.threshold = 0.5
+    res_default, _, _ = tr.test(params, vb)
+    tr.threshold = th
+    res_searched, _, _ = tr.test(params, vb)
+    assert res_searched["test_loss"] <= res_default["test_loss"] + 1e-9
