@@ -167,6 +167,11 @@ class Predictor(BasePredictor):
             )
             arch_name = architecture
             params = None
+        if params is None:
+            raise RuntimeError(
+                f"could not load checkpoint {best_model_path!r} — it is not a "
+                "framework checkpoint (train with train_fit.py first)"
+            )
         self.params = params
         self.cfg = cfg
         self.arch = registry.build(arch_name, cfg)

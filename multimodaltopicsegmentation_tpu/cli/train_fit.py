@@ -192,8 +192,9 @@ def main(args):
             test_docs = next(it)
 
         def make_batches(docs, docs2, bs):
-            if docs is None:
+            if not docs:
                 return None
+            bs = max(bs, 1)
             bl = list(
                 batches(docs, bs, crf=CRF, truncate=truncate, truncate_value=tv,
                         domain_adapt=domain_adapt)
@@ -207,11 +208,14 @@ def main(args):
             return bl
 
         bs = args.batch_size
+        test_batches = make_batches(test_docs, test2, 1)
+        if not test_batches:
+            raise ValueError("There is something wrong with the test loader...")
         fold_loaders.append(
             (
                 make_batches(train_docs, train2, min(bs, len(train_docs))),
                 make_batches(valid_docs, valid2, min(bs, len(valid_docs)) if valid_docs else bs),
-                make_batches(test_docs, test2, 1),
+                test_batches,
                 fold,
             )
         )

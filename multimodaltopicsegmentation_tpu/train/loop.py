@@ -237,14 +237,18 @@ class Trainer:
                 monitored = train_loss
             history.append({"epoch": epoch, "training_loss": train_loss, "val_loss": val_loss})
 
-            # top-1 checkpoint on improvement
-            if monitored < best:
+            # top-1 checkpoint on improvement (NaN counts as no improvement,
+            # but the first epoch always checkpoints so a best path exists)
+            if not np.isfinite(monitored):
+                monitored = float("inf")
+            if monitored < best or self.best_model_path is None:
                 best = monitored
                 bad_epochs = 0
                 if self.best_model_path and os.path.exists(self.best_model_path):
                     os.remove(self.best_model_path)
+                fname_val = monitored if np.isfinite(monitored) else 9999.9999
                 self.best_model_path = os.path.join(
-                    self.check_dir, ckpt_lib.checkpoint_name(epoch, monitored, 0.5)
+                    self.check_dir, ckpt_lib.checkpoint_name(epoch, fname_val, 0.5)
                 )
                 ckpt_lib.save(self.best_model_path, params, self.cfg, self.arch_name,
                               extra={"epoch": epoch, "monitored": monitored})
