@@ -15,6 +15,12 @@ TPU-native replacement for the reference's cuDNN `nn.LSTM` + pack/pad wrapper
   (NeuralArchitectures.py:58-79): xavier-uniform W_ih, orthogonal W_hh,
   zero biases with LSTM forget-gate bias 1.
 
+A fused Pallas LSTM kernel (VMEM-resident carry, grid over time blocks) was
+prototyped and measured SLOWER than XLA's unrolled scan at the flagship
+shape (2.15 ms vs 1.45 ms for [2,10]x512xH256 on v5e) — Mosaic's batched
+small matmul lowering loses to XLA's scan pipeline here, so the scan is the
+production path.
+
 Gate orders match torch conventions so semantics are comparable:
 LSTM gates (i, f, g, o); GRU gates (r, z, n).
 """
