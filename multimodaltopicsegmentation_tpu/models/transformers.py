@@ -126,10 +126,16 @@ def bert_layer_apply(p, x, nheads, mask, window=None, train=False, rng=None, dro
 
 
 class _BertStyleEncoder:
-    """Shared machinery for Classic / Longformer encoders."""
+    """Shared machinery for Classic / Longformer encoders.
+
+    `remat=True` (default) rematerializes each layer in the backward pass
+    (jax.checkpoint): at the reference's 3600-unit budget the banded
+    attention scores alone are ~GBs per layer, so training long documents
+    needs recompute-instead-of-store.
+    """
 
     def __init__(self, d_model, nheads, n_layers, d_ff, windows, drop,
-                 max_position=4096):
+                 max_position=4096, remat=True):
         self.d_model = d_model
         self.nheads = nheads
         self.n_layers = n_layers
@@ -137,6 +143,7 @@ class _BertStyleEncoder:
         self.windows = windows  # None (dense) or per-layer window list
         self.drop = drop
         self.max_position = max_position
+        self.remat = remat
 
     def init(self, rng):
         ks = jax.random.split(rng, self.n_layers + 2)
@@ -160,9 +167,16 @@ class _BertStyleEncoder:
                 rng, k = jax.random.split(rng)
             else:
                 k = None
-            x = bert_layer_apply(
-                lp, x, self.nheads, mask, window=w, train=train, rng=k, drop=self.drop
-            )
+
+            def one_layer(lp, x, mask, k, _w=w):
+                return bert_layer_apply(
+                    lp, x, self.nheads, mask, window=_w, train=train, rng=k,
+                    drop=self.drop,
+                )
+
+            if self.remat and train:
+                one_layer = jax.checkpoint(one_layer)
+            x = one_layer(lp, x, mask, k)
         return x
 
 
@@ -172,7 +186,7 @@ class _BertStyleEncoder:
 
 
 class LongT5Encoder:
-    def __init__(self, d_model, nheads, n_layers, d_ff, window, drop):
+    def __init__(self, d_model, nheads, n_layers, d_ff, window, drop, remat=True):
         self.d_model = d_model
         self.nheads = nheads
         self.n_layers = n_layers
@@ -182,6 +196,7 @@ class LongT5Encoder:
         self.max_distance = window + 1
         self.window = window if window % 2 == 0 else window + 1
         self.drop = drop
+        self.remat = remat
 
     def init(self, rng):
         ks = jax.random.split(rng, self.n_layers + 2)
@@ -203,18 +218,24 @@ class LongT5Encoder:
     def apply(self, p, x, lengths, train=False, rng=None):
         B, L, _ = x.shape
         mask = length_mask(lengths, L, x.dtype)
-        bias = relative_bias_fn(p["rel_bias"], self.num_buckets, self.max_distance)
         for lp in p["layers"]:
             if rng is not None:
                 rng, k1, k2 = jax.random.split(rng, 3)
             else:
                 k1 = k2 = None
-            h = rms_norm(lp["ln1"], x)
-            a = _attend(lp["attn"], h, self.nheads, mask, self.window, bias_fn=bias)
-            x = x + dropout(a, self.drop, k1, not train)
-            h = rms_norm(lp["ln2"], x)
-            h = linear(lp["wo"], jax.nn.relu(linear(lp["wi"], h)))
-            x = x + dropout(h, self.drop, k2, not train)
+
+            def one_block(lp, x, mask, rel_bias, k1, k2):
+                bias = relative_bias_fn(rel_bias, self.num_buckets, self.max_distance)
+                h = rms_norm(lp["ln1"], x)
+                a = _attend(lp["attn"], h, self.nheads, mask, self.window, bias_fn=bias)
+                x = x + dropout(a, self.drop, k1, not train)
+                h = rms_norm(lp["ln2"], x)
+                h = linear(lp["wo"], jax.nn.relu(linear(lp["wi"], h)))
+                return x + dropout(h, self.drop, k2, not train)
+
+            if self.remat and train:
+                one_block = jax.checkpoint(one_block)
+            x = one_block(lp, x, mask, p["rel_bias"], k1, k2)
         return rms_norm(p["ln_final"], x)
 
 
