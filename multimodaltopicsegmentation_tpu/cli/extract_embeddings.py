@@ -32,12 +32,7 @@ import sys
 
 import numpy as np
 
-from ..dsp.unitize import (
-    create_uniform_segments,
-    create_vad_segments,
-    to_sample,
-    to_time,
-)
+from ..dsp.unitize import create_uniform_segments, create_vad_segments, to_sample
 from ..encoders.engine import build_encoder
 from ..utils.audio import load_audio
 

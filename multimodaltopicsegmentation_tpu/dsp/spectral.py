@@ -16,9 +16,6 @@ implemented as the closed-form slope FIR with edge replication (librosa's
 """
 from __future__ import annotations
 
-import math
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np

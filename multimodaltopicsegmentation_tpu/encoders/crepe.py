@@ -16,13 +16,9 @@ smoke mode otherwise.
 from __future__ import annotations
 
 import os
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np
-
-from .engine_util import pad_units
 
 FRAME = 1024
 HOP = 160  # 10 ms at 16 kHz

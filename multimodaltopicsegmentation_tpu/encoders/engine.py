@@ -17,7 +17,7 @@ MTS_RANDOM_ENCODER_WEIGHTS=1 (smoke-test mode, clearly logged).
 from __future__ import annotations
 
 import os
-from typing import List, Sequence, Tuple
+from typing import List
 
 import jax
 import jax.numpy as jnp

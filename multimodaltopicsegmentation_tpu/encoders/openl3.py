@@ -26,7 +26,6 @@ import numpy as np
 
 from ..dsp.spectral import mel_filterbank, hann_window
 from ..utils.audio import resample
-from .engine_util import pad_units
 
 OPENL3_SR = 48000
 WINDOW_S = 1.0

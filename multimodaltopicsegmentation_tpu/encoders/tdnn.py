@@ -22,9 +22,6 @@ this module provides:
 from __future__ import annotations
 
 import os
-from functools import partial
-from typing import Sequence
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -28,8 +28,7 @@ TPU, blocked XLA elsewhere); everything is static-shape and jit-safe.
 """
 from __future__ import annotations
 
-import math
-from typing import List, Optional, Sequence, Union
+from typing import List
 
 import jax
 import jax.numpy as jnp

@@ -18,7 +18,6 @@ local attention (RestrictedTransformerLayer.py:147-159).
 from __future__ import annotations
 
 import math
-from functools import partial
 
 import jax
 import jax.numpy as jnp

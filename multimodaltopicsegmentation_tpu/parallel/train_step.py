@@ -11,13 +11,11 @@ The same function runs single-device (trivial mesh) and multi-chip.
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable
 
 import jax
-import jax.numpy as jnp
 import optax
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh
 
 from .mesh import batch_shardings, param_shardings, replicated
 

@@ -3,7 +3,7 @@ from __future__ import annotations
 
 import logging
 import sys
-from typing import List, Sequence
+from typing import Sequence
 
 
 def setup_logger(name: str, log_file: str, level=logging.INFO, delay: bool = False):
