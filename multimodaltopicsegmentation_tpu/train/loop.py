@@ -135,12 +135,13 @@ class Trainer:
         self.domain = registry.is_domain_adapt(architecture)
         self.double = registry.is_double_input(architecture)
         self.best_model_path: Optional[str] = None
-        self._step_cache: Dict = {}
-        self._loss_cache: Dict = {}
+        self._step_jit = None
+        self._loss_jit = None
 
-    # -- jit caches keyed on batch shape ------------------------------------
-    def _train_step(self, shape_key):
-        if shape_key not in self._step_cache:
+    # -- jitted step/loss (jax.jit handles per-shape caching; padding is
+    # bucketed so the number of distinct programs stays small) --------------
+    def _train_step(self):
+        if self._step_jit is None:
             arch = self.arch
             tx = self.tx
 
@@ -157,11 +158,11 @@ class Trainer:
                 params = optax.apply_updates(params, updates)
                 return params, opt_state, loss
 
-            self._step_cache[shape_key] = jax.jit(step, donate_argnums=(0, 1))
-        return self._step_cache[shape_key]
+            self._step_jit = jax.jit(step, donate_argnums=(0, 1))
+        return self._step_jit
 
-    def _eval_loss(self, shape_key):
-        if shape_key not in self._loss_cache:
+    def _eval_loss(self):
+        if self._loss_jit is None:
             arch = self.arch
 
             def eval_loss(params, src, lengths, tags, extra):
@@ -171,8 +172,8 @@ class Trainer:
                     return arch.loss(params, src, lengths, tags, rng=None, x2=extra["x2"])
                 return arch.loss(params, src, lengths, tags, rng=None)
 
-            self._loss_cache[shape_key] = jax.jit(eval_loss)
-        return self._loss_cache[shape_key]
+            self._loss_jit = jax.jit(eval_loss)
+        return self._loss_jit
 
     def _extra(self, batch):
         extra = {}
@@ -200,8 +201,7 @@ class Trainer:
             train_losses = []
             for batch in train_batches:
                 rng, k = jax.random.split(rng)
-                shape_key = (batch["src_tokens"].shape, "train")
-                step = self._train_step(shape_key)
+                step = self._train_step()
                 params, opt_state, loss = step(
                     params,
                     opt_state,
@@ -217,8 +217,7 @@ class Trainer:
             if valid_batches:
                 val_losses, weights = [], []
                 for batch in valid_batches:
-                    shape_key = (batch["src_tokens"].shape, "eval")
-                    ev = self._eval_loss(shape_key)
+                    ev = self._eval_loss()
                     l = ev(
                         params,
                         jnp.asarray(batch["src_tokens"]),
