@@ -87,9 +87,10 @@ class Wav2Vec2Encoder:
             self.params = W.init_params(jax.random.PRNGKey(0), self.cfg)
         else:
             self.params, self.cfg = W.load_pretrained(name_or_path)
-        self._apply = jax.jit(
-            lambda a, l: W.apply(self.params, self.cfg, a, l)
-        )
+        # params must be an ARGUMENT, not a closure: closed-over weights are
+        # baked into the HLO as constants (385 MB for base — breaks the
+        # remote-compile path and bloats every cache entry)
+        self._apply = jax.jit(lambda p, a, l: W.apply(p, self.cfg, a, l))
         self._W = W
 
     def encode_document(self, audio, bounds, chunk=256):
@@ -98,7 +99,7 @@ class Wav2Vec2Encoder:
         for i in range(0, len(bounds), chunk):
             u = jnp.asarray(units[i : i + chunk])
             l = jnp.asarray(lens[i : i + chunk])
-            frames = np.asarray(self._apply(u, l))
+            frames = np.asarray(self._apply(self.params, u, l))
             for row, n in zip(frames, lens[i : i + chunk]):
                 t = self._W.feature_extractor_output_length(self.cfg, int(n))
                 outs.append(row[: max(t, 1)])

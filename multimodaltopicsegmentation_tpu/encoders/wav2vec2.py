@@ -110,7 +110,8 @@ def _group_norm(p, x, groups, eps=1e-5, frame_mask=None):
 def init_params(rng, cfg: Wav2Vec2Config) -> dict:
     """Random init (HF-equivalent shapes; used for tests / no-weights mode)."""
     params = {"feature_extractor": [], "encoder_layers": []}
-    keys = jax.random.split(rng, 64)
+    n_keys = len(cfg.conv_dim) + 3 + 6 * cfg.num_layers
+    keys = jax.random.split(rng, n_keys)
     ki = iter(keys)
 
     in_c = 1
