@@ -1,0 +1,61 @@
+"""Frame-level extraction: pooling-variant dirs + engine chunking."""
+import os
+import pickle
+
+import numpy as np
+import pytest
+
+import jax
+
+from multimodaltopicsegmentation_tpu.cli.extract_embeddings import write_frame_level
+
+
+def test_write_frame_level_layout(tmp_path):
+    rng = np.random.default_rng(0)
+    unit_frames = [rng.standard_normal((n, 6)).astype(np.float32) for n in (4, 7, 3)]
+    write_frame_level(str(tmp_path), "docX", unit_frames)
+
+    for d in ("_mean", "_max", "_mean_std", "_max_std", "_last", "_delta_gap", "_no_reduction"):
+        assert os.path.exists(tmp_path / d)
+
+    mean = np.load(tmp_path / "_mean" / "docX.npy")
+    assert mean.shape == (3, 6)
+    np.testing.assert_allclose(mean[1], unit_frames[1].mean(0), atol=1e-6)
+
+    ms = np.load(tmp_path / "_mean_std" / "docX.npy")
+    assert ms.shape == (3, 12)
+
+    last = np.load(tmp_path / "_last" / "docX.npy")
+    np.testing.assert_allclose(last[0], unit_frames[0][-1], atol=1e-6)
+
+    dg = np.load(tmp_path / "_delta_gap" / "docX.npy")
+    np.testing.assert_allclose(dg[0], unit_frames[1][0] - unit_frames[0][-1], atol=1e-6)
+    np.testing.assert_allclose(dg[-1], unit_frames[-1][-1], atol=1e-6)
+
+    with open(tmp_path / "_no_reduction" / "docX.pkl", "rb") as f:
+        raw = pickle.load(f)
+    assert len(raw) == 3 and raw[1].shape == (7, 6)
+
+
+def test_wav2vec_engine_chunking(monkeypatch):
+    """Chunked batched encode == per-unit frame counts, across chunk sizes."""
+    monkeypatch.setenv("MTS_RANDOM_ENCODER_WEIGHTS", "1")
+    from multimodaltopicsegmentation_tpu.encoders import wav2vec2 as W
+    from multimodaltopicsegmentation_tpu.encoders.engine import Wav2Vec2Encoder
+
+    enc = Wav2Vec2Encoder.__new__(Wav2Vec2Encoder)
+    enc.cfg = W.Wav2Vec2Config.tiny()
+    enc.params = W.init_params(jax.random.PRNGKey(0), enc.cfg)
+    enc._apply = jax.jit(lambda p, a, l: W.apply(p, enc.cfg, a, l))
+    enc._W = W
+
+    rng = np.random.default_rng(0)
+    audio = rng.standard_normal(4000).astype(np.float32)
+    bounds = [(0, 1000), (1000, 2500), (2500, 4000)]
+    out1 = enc.encode_document(audio, bounds, chunk=2)
+    out2 = enc.encode_document(audio, bounds, chunk=8)
+    assert len(out1) == 3
+    for a, b, (s, e) in zip(out1, out2, bounds):
+        assert a.shape == b.shape
+        assert a.shape[0] == W.feature_extractor_output_length(enc.cfg, e - s)
+        np.testing.assert_allclose(a, b, atol=2e-4)
