@@ -197,4 +197,19 @@ float* mts_resample(const float* x, int64_t n, int sr_in, int sr_out,
 }
 
 void mts_free(float* p) { std::free(p); }
+
+// Parallel batch loader: decodes + resamples n files concurrently (OpenMP).
+// outputs[i] receives a malloc'd buffer (or null on error), n_samples[i] its
+// length. The host pipeline uses this to prefetch the next documents while
+// the TPU encodes the current one.
+void mts_read_wav_batch(const char** paths, int n, int target_sr,
+                        float** outputs, int64_t* n_samples,
+                        int* sample_rates) {
+#pragma omp parallel for schedule(dynamic)
+  for (int i = 0; i < n; ++i) {
+    outputs[i] = mts_read_wav(paths[i], &n_samples[i], &sample_rates[i],
+                              target_sr);
+    if (!outputs[i]) n_samples[i] = 0;
+  }
+}
 }

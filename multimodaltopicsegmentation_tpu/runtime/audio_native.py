@@ -50,6 +50,14 @@ def _load():
         ctypes.POINTER(ctypes.c_int64),
     ]
     lib.mts_free.argtypes = [ctypes.POINTER(ctypes.c_float)]
+    lib.mts_read_wav_batch.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p),
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int),
+    ]
     _lib = lib
     return _lib
 
@@ -73,6 +81,33 @@ def read_wav(path: str, target_sr: int = 0):
     finally:
         lib.mts_free(buf)
     return out, sr.value
+
+
+def read_wav_batch(paths, target_sr: int = 0):
+    """Decode + resample many wavs concurrently (OpenMP across files).
+
+    -> list of (samples, sample_rate); failed files yield (None, 0).
+    """
+    lib = _load()
+    if not lib:
+        raise RuntimeError("native audio library unavailable")
+    n = len(paths)
+    c_paths = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    outputs = (ctypes.POINTER(ctypes.c_float) * n)()
+    lens = (ctypes.c_int64 * n)()
+    srs = (ctypes.c_int * n)()
+    lib.mts_read_wav_batch(c_paths, n, target_sr, outputs, lens, srs)
+    results = []
+    for i in range(n):
+        if not outputs[i]:
+            results.append((None, 0))
+            continue
+        try:
+            arr = np.ctypeslib.as_array(outputs[i], shape=(lens[i],)).copy()
+        finally:
+            lib.mts_free(outputs[i])
+        results.append((arr, srs[i]))
+    return results
 
 
 def resample(audio: np.ndarray, sr_in: int, sr_out: int) -> np.ndarray:
