@@ -34,7 +34,6 @@ import numpy as np
 
 from ..dsp.unitize import create_uniform_segments, create_vad_segments, to_sample
 from ..encoders.engine import build_encoder
-from ..utils.audio import load_audio
 
 EXCLUDE_RE = "(24580|25539|25684|26071|26214|26321|26427)"
 POOL_DIRS = ("_mean", "_max", "_no_reduction", "_mean_std", "_max_std", "_last", "_delta_gap")
@@ -121,22 +120,41 @@ def main(args):
     all_labs_dictionary = {}
     lab_index = 0
 
+    # decode of upcoming documents overlaps with on-device encoding of the
+    # current one; skip decisions don't depend on audio so they're made first
+    def _skipped(i):
+        if args.continue_from_check and existent_files:
+            current = os.path.basename(audio_paths[i])[:-4]
+            if re.findall(re.escape(current), " ".join(existent_files)):
+                return "exists"
+        if re.findall(EXCLUDE_RE, audio_paths[i]):
+            return "excluded"
+        return None
+
+    from ..utils.audio import prefetch_audio
+
+    loader = prefetch_audio(
+        [audio_paths[i] for i in range(len(times)) if _skipped(i) is None],
+        target_sr=16000,
+    )
+
     for index, timestamps in enumerate(times):
         if args.BMAT:
             timestamps = lab_file[os.path.basename(audio_paths[index])[:-4]]
-        if args.continue_from_check and existent_files:
-            current = os.path.basename(audio_paths[index])[:-4]
-            if re.findall(re.escape(current), " ".join(existent_files)):
-                lab_index += len(timestamps)
-                print(f"File {current}.npy exists in target directory: skipping")
-                continue
-
-        if re.findall(EXCLUDE_RE, audio_paths[index]):
+        skip = _skipped(index)
+        if skip == "exists":
+            lab_index += len(timestamps)
+            print(
+                f"File {os.path.basename(audio_paths[index])[:-4]}.npy exists "
+                "in target directory: skipping"
+            )
+            continue
+        if skip == "excluded":
             if not args.BMAT:
                 lab_index += len(timestamps)
             continue
 
-        audio, sr = load_audio(audio_paths[index], target_sr=16000)
+        _path, audio, sr = next(loader)
 
         # ---- unitization + labels ----------------------------------------
         def collect_lab_times():

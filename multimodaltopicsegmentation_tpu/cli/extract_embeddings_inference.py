@@ -23,7 +23,6 @@ import numpy as np
 
 from ..dsp.unitize import inference_uniform_units, to_sample, to_time
 from ..encoders.engine import build_encoder
-from ..utils.audio import load_audio
 from .extract_embeddings import write_frame_level
 
 
@@ -43,13 +42,25 @@ def main(args):
                 filenames.append(re.findall(r"(.+)\.\w+$", file)[-1])
                 audio_paths.append(os.path.join(root, file))
 
-    for index, path in enumerate(audio_paths):
-        if args.continue_from_check and existent_files:
-            if re.findall(re.escape(filenames[index]), " ".join(existent_files)):
-                print(f"File {filenames[index]} exists in target directory: skipping")
-                continue
+    def _skipped(i):
+        return bool(
+            args.continue_from_check
+            and existent_files
+            and re.findall(re.escape(filenames[i]), " ".join(existent_files))
+        )
 
-        audio, sr = load_audio(path, target_sr=16000)
+    from ..utils.audio import prefetch_audio
+
+    loader = prefetch_audio(
+        [p for i, p in enumerate(audio_paths) if not _skipped(i)], target_sr=16000
+    )
+
+    for index, path in enumerate(audio_paths):
+        if _skipped(index):
+            print(f"File {filenames[index]} exists in target directory: skipping")
+            continue
+
+        _path, audio, sr = next(loader)
         audio_length = to_time(16000, len(audio))
 
         interval = (

@@ -82,3 +82,23 @@ def save_wav(path: str, audio: np.ndarray, sr: int):
     from scipy.io import wavfile
 
     wavfile.write(path, sr, audio)
+
+
+def prefetch_audio(paths, target_sr: int = 16000, window: int = 2):
+    """Yield (path, audio, sr) with decode/resample overlapped ahead of the
+    consumer (the extract pipeline encodes document i on the TPU while
+    documents i+1..i+window decode on host threads — the C ABI loader and
+    scipy both release the GIL)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=window) as pool:
+        futures = []
+        paths = list(paths)
+        for i, p in enumerate(paths[: window + 1]):
+            futures.append(pool.submit(load_audio, p, target_sr))
+        for i, p in enumerate(paths):
+            audio, sr = futures[i].result()
+            nxt = i + window + 1
+            if nxt < len(paths):
+                futures.append(pool.submit(load_audio, paths[nxt], target_sr))
+            yield p, audio, sr
