@@ -10,10 +10,13 @@ to detect pauses. Here:
   d[tau] = r[0] + r_tau[0] - 2*acf[tau] (one batched rfft — no numba),
 - CMNDF normalization, absolute threshold trough selection and parabolic
   interpolation follow the YIN paper (de Cheveigne & Kawahara 2002),
-- voicing intensity := 1 - min(CMNDF) clamped to [0, 1] — the aperiodicity
-  complement used as the voicing proxy (the reference's pyin derives the
-  same quantity through its HMM; both land in [0,1] with voiced frames
-  near 1), NaN f0 for unvoiced frames like pyin.
+- voicing intensity uses pyin's observation probability in closed form:
+  pyin sweeps a Beta(2, 18) prior over YIN thresholds and credits a frame
+  as voiced when any trough falls below the sampled threshold (librosa
+  _pyin_helper); summed over thresholds that is exactly
+      voiced_prob = 1 - (1 - no_trough_prob) * BetaCDF_{2,18}(min CMNDF)
+  with no_trough_prob = 0.01 — one betainc call per frame, no HMM loop.
+  f0 is NaN for frames below 0.5 voicing, like pyin's unvoiced output.
 
 Everything is [n_frames, ...] batched; tau search ranges are static from
 (fmin, fmax).
@@ -100,7 +103,11 @@ def yin(
     tau_refined = tau_abs.astype(d.dtype) + shift
 
     f0 = sr / jnp.maximum(tau_refined, 1e-6)
-    voicing = jnp.clip(1.0 - jnp.min(band, axis=-1), 0.0, 1.0)
+    # pyin voiced probability, closed form over the Beta(2,18) threshold prior
+    min_cmndf = jnp.clip(jnp.min(band, axis=-1), 0.0, 1.0)
+    no_trough_prob = 0.01
+    cdf = jax.scipy.special.betainc(2.0, 18.0, min_cmndf)
+    voicing = 1.0 - (1.0 - no_trough_prob) * cdf
     voiced = voicing >= 0.5
     f0 = jnp.where(voiced, f0, jnp.nan)
     return f0, voicing
