@@ -116,20 +116,30 @@ def _f0_stats(f0: jnp.ndarray, frame_mask: jnp.ndarray):
     return mean, std, valid
 
 
-@partial(jax.jit, static_argnames=("sr",))
+@partial(jax.jit, static_argnames=("sr", "use_pyin"))
 def prosodic_features(
     units: jnp.ndarray,  # [U, S] zero-padded unit audio
     unit_lengths: jnp.ndarray,  # [U] sample counts
     sr: int,
+    use_pyin: bool = True,
 ) -> jnp.ndarray:
-    """[U, 167] prosodic vectors; pitch jumps chain previous units in order."""
+    """[U, 167] prosodic vectors; pitch jumps chain previous units in order.
+
+    use_pyin=True runs the full HMM pitch tracker (reference parity:
+    extract_acoustic_features.py:75 uses librosa.pyin); False falls back to
+    plain YIN (faster, near-identical statistics on clean speech)."""
     U, S = units.shape
     T = int(1 + S // HOP)
 
     def per_unit(y, n):
         t_valid = _n_frames(n)
         fmask = (jnp.arange(T) < t_valid).astype(y.dtype)
-        f0, voicing = yin(y, sr)
+        if use_pyin:
+            from .pyin import pyin as pyin_fn
+
+            f0, _vflag, voicing = pyin_fn(y, sr)
+        else:
+            f0, voicing = yin(y, sr)
         f0, voicing = f0[:T], voicing[:T]
         f0_mean, f0_std, f0_valid = _f0_stats(f0, fmask)
         p_mean, p_std, v_mean, v_std = pause_statistics(voicing, fmask)

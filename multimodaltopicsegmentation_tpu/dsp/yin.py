@@ -72,6 +72,8 @@ def yin(
         [jnp.ones((T, 1), d.dtype), d[:, 1:] * tau_range / jnp.maximum(cum, 1e-12)],
         axis=-1,
     )
+    # zero-energy frames are 0/0 -> 0 "perfect periodicity"; force aperiodic
+    cmndf = jnp.where(total > 1e-10, cmndf, 1.0)
 
     band = cmndf[:, tau_min:tau_max]  # [T, n_tau]
     n_tau = tau_max - tau_min
