@@ -206,12 +206,32 @@ class Predictor(BasePredictor):
         if verbose:
             print(f"Segmenting the following files:\n{file_names}")
 
-        decode = jax.jit(lambda p, x, l: self.arch.decode(p, x, l, self.th))
+        if len(jax.devices()) > 1:
+            # shard documents over the 'data' mesh axis (ICI data parallelism)
+            from ..parallel.mesh import make_mesh
+            from ..parallel.train_step import make_sharded_decode
+
+            mesh = make_mesh(model_parallel=1)
+            batch_size = max(batch_size, mesh.shape["data"])
+            batch_size -= batch_size % mesh.shape["data"]
+            sharded = make_sharded_decode(self.arch, mesh, self.params, self.th)
+
+            def decode(p, x, l):
+                with mesh:
+                    return sharded(p, x, l)
+        else:
+            decode = jax.jit(lambda p, x, l: self.arch.decode(p, x, l, self.th))
         results = []
         docs = [(e, [0] * len(e), n) for e, n in zip(embeddings, file_names)]
+        multi = len(jax.devices()) > 1
         for i in range(0, len(docs), batch_size):
             chunk = docs[i : i + batch_size]
-            batch = pad_batch(chunk, crf=False, bucket=True)
+            batch = pad_batch(
+                chunk,
+                crf=False,
+                bucket=True,
+                pad_batch_to=batch_size if (multi and len(chunk) < batch_size) else None,
+            )
             scores, tags = decode(
                 self.params,
                 jnp.asarray(batch["src_tokens"]),
