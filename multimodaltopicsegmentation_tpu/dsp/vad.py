@@ -40,13 +40,16 @@ def speech_segments(
     shorter than min_speech_s are dropped, gaps shorter than min_gap_s are
     bridged.
     """
-    hop_s = 160 / sr * (sr / 16000) if sr == 16000 else 0.01
     e = np.asarray(frame_log_energy(jnp.asarray(audio), sr))
     if len(e) == 0:
         return []
     floor = np.percentile(e, 10)
-    thr = floor + threshold_offset_db / 10.0 * np.log(10.0)
-    active = e > thr
+    offset = threshold_offset_db / 10.0 * np.log(10.0)
+    if np.percentile(e, 95) - floor < offset:
+        # flat energy profile: there is no silence to separate — all speech
+        active = np.ones(len(e), dtype=bool)
+    else:
+        active = e > floor + offset
 
     hop_s = 160 / 16000 if sr == 16000 else 160 / sr
     spans = []
