@@ -273,9 +273,14 @@ class Trainer:
     def test(self, params, test_batches: List[dict]):
         """Per-document decode + metrics; returns the reference's results
         dict plus per-document results/scores lists."""
-        threshold = self.threshold if self.threshold is not None else 0.4
-        if not threshold:
-            threshold = 0.5
+        if self.zero_baseline:
+            # reference hardcodes 0.4 for the never-predict baseline
+            # (lightning_model.py:577-580)
+            threshold = 0.4
+        else:
+            threshold = self.threshold if self.threshold is not None else 0.4
+            if not threshold:
+                threshold = 0.5
 
         decode = None
         all_results, all_scores = [], []
