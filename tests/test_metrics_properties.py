@@ -1,5 +1,6 @@
 """Property-based invariants for the segmentation metrics (hypothesis)."""
 import numpy as np
+import pytest
 from hypothesis import given, settings, strategies as st
 
 from multimodaltopicsegmentation_tpu.eval import metrics as M
@@ -59,9 +60,12 @@ def test_b_measure_bounds_and_symmetric_similarity(h, t):
     for v in (bp, br, bf1, b):
         assert 0.0 <= v <= 1.0
     # boundary similarity is symmetric in its two segmentations
+    # (up to float summation order of the transposition weights)
     hm = M.get_boundaries([*h[:-1], 1])
     tm = M.get_boundaries([*t[:-1], 1])
-    assert M.boundary_similarity(hm, tm, n_t=10) == M.boundary_similarity(tm, hm, n_t=10)
+    assert M.boundary_similarity(hm, tm, n_t=10) == pytest.approx(
+        M.boundary_similarity(tm, hm, n_t=10), abs=1e-12
+    )
     # identical -> perfect, provided there is at least one internal boundary
     # (with none, P/R are 0/0 -> 0.0, matching segeval's empty matrix)
     if sum(t[:-1]) > 0:
