@@ -154,6 +154,16 @@ def main(args):
     domain_adapt = registry.is_domain_adapt(args.architecture)
     double = registry.is_double_input(args.architecture)
 
+    # multi-chip: shard training over the ('data','model') ICI mesh, exactly
+    # as the predict CLI shards decode (cli/predict.py). Single chip -> None.
+    import jax
+
+    mesh = None
+    if len(jax.devices()) > 1:
+        from ..parallel.mesh import make_mesh
+
+        mesh = make_mesh(model_parallel=1)
+
     if args.architecture in ("Transformer", "BiLSTMRestrictedMHA"):
         truncate, tv = True, 3600
     else:
@@ -327,6 +337,7 @@ def main(args):
                 metric=args.metric,
                 use_end_boundary=args.use_end_boundary,
                 zero_baseline=args.zero_baseline,
+                mesh=mesh,
             )
 
             from ..utils import profiling

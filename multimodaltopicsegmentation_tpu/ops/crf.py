@@ -96,11 +96,19 @@ def gold_score(
 def crf_loss(
     params: dict, features: jnp.ndarray, tags: jnp.ndarray, mask: jnp.ndarray
 ) -> jnp.ndarray:
-    """Mean negative log-likelihood (reference CRF.loss, models/CRF.py:130-146)."""
+    """Mean negative log-likelihood (reference CRF.loss, models/CRF.py:130-146).
+
+    The mean runs over documents with at least one valid unit so that
+    zero-length padding docs (added to make the batch axis divisible by the
+    mesh 'data' axis) contribute nothing — identical to a plain batch mean
+    when every document is real.
+    """
     emissions = _emissions(params, features)
     fwd = forward_algorithm(params, emissions, mask)
     gold = gold_score(params, emissions, tags, mask)
-    return jnp.mean(fwd - gold)
+    nll = fwd - gold
+    valid = (jnp.sum(mask, axis=1) > 0).astype(nll.dtype)
+    return jnp.sum(nll * valid) / jnp.maximum(jnp.sum(valid), 1.0)
 
 
 def viterbi_decode(params: dict, features: jnp.ndarray, mask: jnp.ndarray):

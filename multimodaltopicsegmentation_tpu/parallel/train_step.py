@@ -20,14 +20,30 @@ from jax.sharding import Mesh
 from .mesh import batch_shardings, param_shardings, replicated
 
 
-def make_sharded_train_step(arch, tx, mesh: Mesh, params) -> Callable:
-    """Returns (step_fn, place_params) for data+tensor-parallel training."""
+def make_sharded_train_step(arch, tx, mesh: Mesh, params, extra_kind: str = "") -> Callable:
+    """Returns (step_fn, place_params) for data+tensor-parallel training.
+
+    `extra_kind` selects the architecture's extra input: '' (none),
+    'domain' (SwitchBiLSTM per-doc domain ids) or 'double' (late-fusion
+    second modality stream) — both shard the document axis like the batch.
+    """
     p_shard = param_shardings(mesh, params)
     b_shard = batch_shardings(mesh)
     rep = replicated(mesh)
 
-    def step(params, opt_state, src, lengths, tags, rng):
+    if extra_kind == "domain":
+        e_shard = {"domain": b_shard["domain"]}
+    elif extra_kind == "double":
+        e_shard = {"x2": b_shard["src_tokens"]}
+    else:
+        e_shard = {}
+
+    def step(params, opt_state, src, lengths, tags, rng, extra):
         def loss_fn(p):
+            if extra_kind == "domain":
+                return arch.loss(p, src, lengths, tags, extra["domain"], rng=rng)
+            if extra_kind == "double":
+                return arch.loss(p, src, lengths, tags, rng=rng, x2=extra["x2"])
             return arch.loss(p, src, lengths, tags, rng=rng)
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
@@ -44,6 +60,7 @@ def make_sharded_train_step(arch, tx, mesh: Mesh, params) -> Callable:
             b_shard["src_lengths"],
             b_shard["tgt_tokens"],
             rep,
+            e_shard,
         ),
         out_shardings=(p_shard, None, rep),
         donate_argnums=(0, 1),

@@ -115,6 +115,8 @@ class Trainer:
         threshold: Optional[float] = None,
         use_end_boundary: bool = False,
         zero_baseline: bool = False,
+        mesh=None,
+        detect_anomaly: Optional[bool] = None,
     ):
         self.arch_name = architecture
         self.arch = registry.build(architecture, cfg)
@@ -134,16 +136,34 @@ class Trainer:
         self.zero_baseline = zero_baseline
         self.domain = registry.is_domain_adapt(architecture)
         self.double = registry.is_double_input(architecture)
+        # multi-chip: shard the train step over the ('data','model') mesh;
+        # None or a 1-device mesh falls back to the plain jitted step
+        self.mesh = mesh if (mesh is not None and mesh.size > 1) else None
+        # NaN tripwire, the analogue of the reference's always-on Lightning
+        # Trainer(detect_anomaly=True) (/root/reference/train_fit.py:289)
+        if detect_anomaly is None:
+            detect_anomaly = os.environ.get("MTS_DETECT_ANOMALY", "1") != "0"
+        self.detect_anomaly = detect_anomaly
         self.best_model_path: Optional[str] = None
         self._step_jit = None
         self._loss_jit = None
+        self._place_params = None
 
     # -- jitted step/loss (jax.jit handles per-shape caching; padding is
     # bucketed so the number of distinct programs stays small) --------------
-    def _train_step(self):
+    def _train_step(self, params=None):
         if self._step_jit is None:
             arch = self.arch
             tx = self.tx
+
+            if self.mesh is not None:
+                from ..parallel.train_step import make_sharded_train_step
+
+                kind = "domain" if self.domain else ("double" if self.double else "")
+                self._step_jit, self._place_params = make_sharded_train_step(
+                    arch, tx, self.mesh, params, extra_kind=kind
+                )
+                return self._step_jit
 
             def step(params, opt_state, src, lengths, tags, rng, extra):
                 def loss_fn(p):
@@ -183,12 +203,39 @@ class Trainer:
             extra["x2"] = jnp.asarray(batch["src_tokens2"])
         return extra
 
+    def _pad_batch_axis(self, batch: dict) -> dict:
+        """Pad the document axis to a multiple of the mesh 'data' axis.
+
+        Pad docs get length 0 and tag -1, so every loss ignores them (masked
+        means; CRF weights by valid docs) — numerics match single-device.
+        """
+        if self.mesh is None:
+            return batch
+        n_data = self.mesh.shape["data"]
+        B = len(batch["src_lengths"])
+        pad = (-B) % n_data
+        if pad == 0:
+            return batch
+        out = dict(batch)
+        for key in ("src_tokens", "tgt_tokens", "src_lengths", "domain", "src_tokens2"):
+            if key in batch and hasattr(batch[key], "shape"):
+                arr = np.asarray(batch[key])
+                widths = [(0, pad)] + [(0, 0)] * (arr.ndim - 1)
+                fill = -1.0 if key == "tgt_tokens" else 0
+                out[key] = np.pad(arr, widths, constant_values=fill)
+        out["n_real"] = batch.get("n_real", B)
+        return out
+
     # -- fit ----------------------------------------------------------------
     def fit(self, train_batches: List[dict], valid_batches: Optional[List[dict]] = None):
         rng = jax.random.PRNGKey(self.seed)
         rng, k_init = jax.random.split(rng)
         params = self.arch.init(k_init)
         self.tx = make_optimizer(self.optimizer_name, self.lr, self.clip)
+        if self.mesh is not None:
+            self._train_step(params)  # builds the sharded step + placer
+            params = self._place_params(params)
+            train_batches = [self._pad_batch_axis(b) for b in train_batches]
         opt_state = self.tx.init(params)
 
         sched = PlateauScheduler(self.lr)
@@ -212,7 +259,16 @@ class Trainer:
                     self._extra(batch),
                 )
                 train_losses.append(loss)
-            train_loss = float(np.mean([float(l) for l in train_losses]))
+            batch_losses = [float(l) for l in train_losses]
+            if self.detect_anomaly and not all(np.isfinite(batch_losses)):
+                bad = int(np.flatnonzero(~np.isfinite(batch_losses))[0])
+                raise FloatingPointError(
+                    f"detect_anomaly: non-finite training loss "
+                    f"{batch_losses[bad]} at epoch {epoch}, batch {bad} "
+                    f"(arch={self.arch_name}, lr={self.lr}; set "
+                    f"MTS_DETECT_ANOMALY=0 to train through it)"
+                )
+            train_loss = float(np.mean(batch_losses))
 
             if valid_batches:
                 val_losses, weights = [], []
@@ -283,10 +339,7 @@ class Trainer:
                 threshold = 0.5
 
         decode = None
-        all_results, all_scores = [], []
-        loss_pk = loss_f1 = loss_wd = 0.0
-        loss_p = loss_r = loss_bf1 = loss_b = 0.0
-        n_docs = 0
+        per_doc, all_scores = [], []
 
         for batch in test_batches:
             src = jnp.asarray(batch["src_tokens"])
@@ -319,63 +372,61 @@ class Trainer:
                 if self.eb:
                     tag[-1] = 0
                     target[-1] = 0
-                n_docs += 1
+                # the reference tests with batch size 1 (train_fit.py:116-157)
+                # so each dict in its all_results collection is one DOCUMENT's
+                # own metrics (lightning_model.py:671-674); replicate that.
                 if self.metric.lower() == "b":
                     p, r, f1, b = M.b_measure(tag, target)
-                    loss_p += p
-                    loss_r += r
-                    loss_bf1 += f1
-                    loss_b += b
+                    doc = {
+                        "b_precision": p, "b_recall": r, "b_f1": f1,
+                        "threshold": threshold, "test_loss": b,
+                    }
                 elif self.metric.lower() == "scaiano":
                     p, r, f1 = M.win_pr(tag, target)
-                    loss_p += p
-                    loss_r += r
-                    loss_bf1 += f1
+                    doc = {
+                        "b_precision": p, "b_recall": r,
+                        "threshold": threshold, "test_loss": f1,
+                    }
                 else:
-                    loss_pk += M.compute_Pk(tag, target)
-                    loss_f1 += M.boundary_f1(target, tag)
+                    pk = M.compute_Pk(tag, target)
+                    f1 = M.boundary_f1(target, tag)
                     try:
-                        loss_wd += M.compute_window_diff(tag, target)
+                        wd = M.compute_window_diff(tag, target)
                     except AssertionError:
-                        loss_wd += M.compute_Pk(tag, target)
+                        wd = pk
+                    doc = {
+                        "Pk_loss": pk, "F1_loss": f1, "WD_loss": wd,
+                        "threshold": threshold,
+                    }
+                    if self.metric == "F1":
+                        doc["test_loss"] = doc.pop("F1_loss")
+                    elif self.metric == "WD":
+                        doc["test_loss"] = doc.pop("WD_loss")
+                    else:
+                        doc["test_loss"] = doc.pop("Pk_loss")
+                per_doc.append(doc)
+
+                # stored scores must match what the decode consumed: raw
+                # head logits — [L] for the sigmoid heads (BCE/Focal), the
+                # full [L, C] row for CrossEntropy (the reference stores the
+                # model's raw score tensor, lightning_model.py:673-674)
                 if scores_np.ndim == 3:
-                    doc_scores = scores_np[i][:L, 0]
+                    if scores_np.shape[-1] > 1:
+                        doc_scores = scores_np[i][:L]
+                    else:
+                        doc_scores = scores_np[i][:L, 0]
                 elif scores_np.ndim == 2:
                     doc_scores = scores_np[i][:L]
                 else:  # CRF decode: one Viterbi score per document
                     doc_scores = scores_np[i]
                 all_scores.append(np.atleast_1d(np.asarray(doc_scores, np.float64)))
 
-        if self.metric.lower() in ("b", "scaiano"):
-            results = {
-                "b_precision": loss_p / n_docs,
-                "b_recall": loss_r / n_docs,
-                "b_f1": loss_bf1 / n_docs,
-                "threshold": threshold,
-            }
-            if self.metric.lower() == "b":
-                results["test_loss"] = loss_b / n_docs
-            else:
-                results["test_loss"] = results.pop("b_f1")
-        else:
-            results = {
-                "Pk_loss": loss_pk / n_docs,
-                "F1_loss": loss_f1 / n_docs,
-                "WD_loss": loss_wd / n_docs,
-                "threshold": threshold,
-            }
-            if self.metric == "F1":
-                results["test_loss"] = results.pop("F1_loss")
-            elif self.metric == "WD":
-                results["test_loss"] = results.pop("WD_loss")
-            else:
-                results["test_loss"] = results.pop("Pk_loss")
-
-        # per-doc result dicts, as the reference's all_results collection
-        per_doc = []
-        for batch in test_batches:
-            for i in range(batch.get("n_real", len(batch["src_lengths"]))):
-                per_doc.append(dict(results))
+        # corpus aggregate = mean over documents (Lightning's epoch-mean
+        # log_dict with bs=1 reduces to exactly this)
+        results = {
+            k: float(np.mean([d[k] for d in per_doc])) for k in per_doc[0]
+        }
+        results["threshold"] = threshold
         return results, per_doc, all_scores
 
     def search_threshold(self, params, valid_batches: List[dict]):
@@ -398,21 +449,32 @@ class Trainer:
                     jnp.asarray(batch["src_lengths"]),
                 )
             )
+            if scores.ndim == 1:
+                # CRF decode: one Viterbi score per doc, no threshold to
+                # search — keep the reference default
+                return 0.5, float("nan")
             for i in range(batch.get("n_real", len(batch["src_lengths"]))):
                 L = int(batch["src_lengths"][i])
-                s = scores[i][:L, 0] if scores.ndim == 3 else scores[i][:L]
+                s = scores[i][:L]  # [L, C] head logits (C=1 sigmoid heads)
                 t = np.asarray(batch["tgt_tokens"][i][:L]).astype(int)
-                docs.append((s, t))
+                # probabilities EXACTLY as head_decode thresholds them
+                # (models/base.py:84-90): softmax class-1 for CrossEntropy,
+                # sigmoid of the single logit otherwise
+                if s.ndim == 2 and self.cfg.loss_fn == "CrossEntropy" and s.shape[-1] > 1:
+                    e = np.exp(s - s.max(-1, keepdims=True))
+                    prob = e[..., 1] / e.sum(-1)
+                elif s.ndim == 2:
+                    prob = 1.0 / (1.0 + np.exp(-s[..., 0]))
+                else:  # [L] pre-sigmoid scores
+                    prob = 1.0 / (1.0 + np.exp(-s))
+                docs.append((prob, t))
 
         minimize = self.metric in ("Pk", "WD")
         best_th, best_val = 0.5, float("inf") if minimize else -float("inf")
         for th in candidates:
             vals = []
-            for s, t in docs:
-                if self.cfg.loss_fn == "CrossEntropy":
-                    pred = (s > th).astype(int)  # scores are class-1 logits
-                else:
-                    pred = (1.0 / (1.0 + np.exp(-s)) > th).astype(int)
+            for prob, t in docs:
+                pred = (prob > th).astype(int)
                 if self.metric == "F1":
                     vals.append(M.boundary_f1(t.tolist(), pred.tolist()))
                 elif self.metric == "WD":

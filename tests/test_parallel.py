@@ -60,7 +60,7 @@ def test_sharded_step_matches_single_device(setup, model_parallel):
     opt_state = tx.init(p)
     with mesh:
         p, opt_state, loss = sharded_step(
-            p, opt_state, x, lengths, tags, jax.random.PRNGKey(1)
+            p, opt_state, x, lengths, tags, jax.random.PRNGKey(1), {}
         )
 
     assert float(loss) == pytest.approx(float(ref_loss), rel=1e-5)
