@@ -15,6 +15,7 @@ this path is the >=10x wall-clock target in BASELINE.md.
 from __future__ import annotations
 
 import argparse
+import dataclasses
 import os
 import pickle
 import sys
@@ -158,20 +159,26 @@ class Predictor(BasePredictor):
         try:
             params, cfg, arch_name, _ = ckpt_lib.load(best_model_path)
         except Exception:
-            cfg = TaggerConfig(
-                embedding_dim=embedding_dim,
-                hidden_dim=hu,
-                num_layers=nl,
-                loss_fn="BinaryCrossEntropy",
-                threshold=threshold,
-            )
-            arch_name = architecture
             params = None
         if params is None:
-            raise RuntimeError(
-                f"could not load checkpoint {best_model_path!r} — it is not a "
-                "framework checkpoint (train with train_fit.py first)"
-            )
+            # reference-trained torch/Lightning checkpoint? convert in place
+            # (the reference's own BCE->CE fallback, predict.py:227-256, is
+            # resolved from the classifier shape inside the converter)
+            try:
+                sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "..", "tools"))
+                from convert_reference_checkpoint import load_torch_checkpoint
+
+                params, cfg, arch_name = load_torch_checkpoint(
+                    best_model_path, architecture
+                )
+                cfg = dataclasses.replace(cfg, threshold=threshold)
+            except Exception as e:
+                raise RuntimeError(
+                    f"could not load checkpoint {best_model_path!r} — neither a "
+                    "framework checkpoint nor a convertible reference torch "
+                    "checkpoint (see tools/convert_reference_checkpoint.py): "
+                    f"{e}"
+                ) from e
         self.params = params
         self.cfg = cfg
         self.arch = registry.build(arch_name, cfg)
