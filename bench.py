@@ -66,6 +66,81 @@ def bench_predict_tpu() -> float:
     return (SECS / 60.0) / dt
 
 
+def bench_predict_wav2vec_tpu(chunk: int = 150) -> float:
+    """audio-min/s of the NEURAL-ENCODER predict path: raw audio -> batched
+    jitted wav2vec2 (base geometry, random weights — same FLOPs as
+    pretrained) -> frame mean-pool per unit -> BiLSTM boundary decode.
+
+    This is the pipeline BASELINE.md's flagship configs actually run; the
+    reference executes it as one HF encoder forward PER UNIT in a serial
+    host loop (extract_embeddings_inference.py:406-408).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from multimodaltopicsegmentation_tpu.encoders.wav2vec2 import (
+        Wav2Vec2Config,
+        apply,
+        init_params,
+    )
+    from multimodaltopicsegmentation_tpu.models.base import TaggerConfig
+    from multimodaltopicsegmentation_tpu.models.registry import build
+
+    cfg = Wav2Vec2Config.base()
+    enc_params = init_params(jax.random.PRNGKey(0), cfg)
+    encode = jax.jit(lambda p, a: jnp.mean(apply(p, cfg, a), axis=1))  # [chunk, 768]
+
+    tcfg = TaggerConfig(embedding_dim=cfg.hidden_size, hidden_dim=H, num_layers=LAYERS,
+                        loss_fn="FocalLoss")
+    arch = build("BiLSTM", tcfg)
+    tparams = arch.init(jax.random.PRNGKey(1))
+    decode = jax.jit(lambda p, x, l: arch.decode(p, x, l, 0.5))
+
+    audio = _audio(SECS)
+    units = jnp.asarray(audio.reshape(SECS, SR))
+
+    def pipeline():
+        embs = [encode(enc_params, units[i : i + chunk]) for i in range(0, SECS, chunk)]
+        emb = jnp.concatenate(embs, axis=0)
+        _scores, tags = decode(tparams, emb[None], jnp.asarray([SECS]))
+        return np.asarray(tags)  # host transfer = hard sync
+
+    pipeline()  # compile
+    pipeline()  # warm
+    t0 = time.time()
+    n = 3
+    for _ in range(n):
+        pipeline()
+    dt = (time.time() - t0) / n
+    return (SECS / 60.0) / dt
+
+
+def bench_predict_wav2vec_cpu_baseline(n_units: int = 6) -> float:
+    """audio-min/s of the reference execution model: one HF torch wav2vec2
+    forward per 1-second unit, strictly serial, then the torch BiLSTM
+    decode. Extrapolated linearly (the loop is serial per unit)."""
+    import torch
+    import torch.nn as nn
+    from transformers import Wav2Vec2Config as HFConfig
+    from transformers import Wav2Vec2Model
+
+    torch.manual_seed(0)
+    model = Wav2Vec2Model(HFConfig()).eval()  # base geometry, random weights
+    audio = _audio(n_units)
+    feats = []
+    t0 = time.time()
+    with torch.no_grad():
+        for i in range(n_units):
+            u = torch.from_numpy(audio[i * SR : (i + 1) * SR][None])
+            feats.append(model(u).last_hidden_state.mean(1)[0].numpy())
+        rnn = nn.LSTM(768, H, num_layers=LAYERS, batch_first=True, bidirectional=True)
+        cls = nn.Linear(2 * H, 1)
+        x = torch.from_numpy(np.stack(feats)[None])
+        torch.sigmoid(cls(rnn(x)[0]))
+    dt = time.time() - t0
+    return (n_units / 60.0) / dt
+
+
 def bench_predict_cpu_baseline() -> float:
     """audio-min/s of the reference execution model: serial per-unit MFCC
     statistics on host + torch BiLSTM decode."""
@@ -141,13 +216,28 @@ def bench_train_fallback():
 
 
 def main():
+    import sys
+
     try:
-        value = bench_predict_tpu()
-        baseline = bench_predict_cpu_baseline()
+        # headline: the neural-encoder (wav2vec2) predict path — the
+        # flagship BASELINE.md configuration and the reference's dominant
+        # inference cost
+        value = bench_predict_wav2vec_tpu()
+        baseline = bench_predict_wav2vec_cpu_baseline()
+        try:
+            mfcc_v = bench_predict_tpu()
+            mfcc_b = bench_predict_cpu_baseline()
+            print(
+                f"mfcc_path: {mfcc_v:.2f} audio-min/s "
+                f"({mfcc_v / mfcc_b:.2f}x serial-CPU baseline)",
+                file=sys.stderr,
+            )
+        except Exception as e:  # noqa: BLE001
+            print(f"mfcc side-bench failed ({e})", file=sys.stderr)
         print(
             json.dumps(
                 {
-                    "metric": "predict_audio_min_per_sec",
+                    "metric": "predict_wav2vec2_audio_min_per_sec",
                     "value": round(value, 2),
                     "unit": "audio-min/s",
                     "vs_baseline": round(value / baseline, 2),
