@@ -174,11 +174,26 @@ def main(args):
             return lab_time
 
         if args.vad:
-            from ..dsp.vad import speech_segments
+            from ..dsp.vad import get_speech_segments, get_speech_segments_quartered
 
             if verbose:
-                print("Segmenting with the built-in energy VAD...")
-            segmentation = speech_segments(audio, 16000)
+                print("Segmenting with the built-in VAD pipeline...")
+            # reference structure (extract_embeddings.py:297-369): postprocess
+            # (energy double-check) with a RuntimeError fallback to the plain
+            # pass, and a MemoryError fallback that quarters the audio
+            try:
+                try:
+                    segmentation = get_speech_segments(
+                        audio, 16000, apply_energy_VAD=args.postprocess
+                    )
+                except RuntimeError:
+                    if verbose:
+                        print("Warning: Postprocessing failed... trying with just neural VAD.")
+                    segmentation = get_speech_segments(audio, 16000, apply_energy_VAD=False)
+            except MemoryError:
+                segmentation = get_speech_segments_quartered(
+                    audio, 16000, apply_energy_VAD=args.postprocess
+                )
             lab_time = collect_lab_times()
             segments, labs = create_vad_segments(
                 segmentation, lab_time, speechbrain=True

@@ -78,3 +78,93 @@ def test_extract_cli_vad_path(tmp_path):
         emb = np.load(os.path.join(emb_dir, name + ".npy"))
         assert emb.shape[0] == len(lab)
         assert sum(lab) >= 1
+
+
+# ---- speechbrain get_speech_segments postprocess contract ------------------
+from multimodaltopicsegmentation_tpu.dsp.vad import (  # noqa: E402
+    apply_threshold,
+    double_check_speech_segments,
+    energy_double_check,
+    get_speech_segments,
+    get_speech_segments_quartered,
+    merge_close_segments,
+    remove_short_segments,
+)
+
+
+def _tone(secs, sr=16000, hz=220.0, amp=0.5, seed=0):
+    rng = np.random.default_rng(seed)
+    t = np.arange(int(secs * sr)) / sr
+    return (amp * np.sin(2 * np.pi * hz * t)
+            + 0.01 * rng.standard_normal(len(t))).astype(np.float32)
+
+
+def _silence(secs, sr=16000, seed=1):
+    rng = np.random.default_rng(seed)
+    return (0.001 * rng.standard_normal(int(secs * sr))).astype(np.float32)
+
+
+def test_apply_threshold_hysteresis():
+    post = np.array([0.1, 0.6, 0.4, 0.3, 0.2, 0.6, 0.1])
+    active = apply_threshold(post, activation_th=0.5, deactivation_th=0.25)
+    # turns on at 0.6, SURVIVES the 0.4/0.3 dip (above deactivation), dies
+    # at 0.2, reactivates at the second 0.6
+    assert active.tolist() == [False, True, True, True, False, True, False]
+
+
+def test_merge_close_and_remove_short():
+    spans = [(0.0, 1.0), (1.1, 2.0), (2.6, 2.7), (3.5, 4.5)]
+    merged = merge_close_segments(spans, close_th=0.250)
+    assert merged == [(0.0, 2.0), (2.6, 2.7), (3.5, 4.5)]
+    kept = remove_short_segments(merged, len_th=0.250)
+    assert kept == [(0.0, 2.0), (3.5, 4.5)]
+
+
+def test_energy_double_check_splits_internal_silence():
+    """A candidate span bridging speech-silence-speech must split at the
+    low-energy interior when the energy VAD is applied."""
+    sr = 16000
+    audio = np.concatenate([_tone(1.0), _silence(0.8), _tone(1.0)])
+    spans = energy_double_check(audio, sr, [(0.0, 2.8)])
+    assert len(spans) >= 2
+    # first sub-span ends near 1.0 s, a later one starts near 1.8 s
+    assert spans[0][1] == pytest.approx(1.0, abs=0.2)
+    assert any(abs(s - 1.8) < 0.25 for s, _t in spans[1:])
+
+
+def test_double_check_drops_low_posterior_span():
+    post = np.concatenate([np.full(100, 0.9), np.full(100, 0.1)])
+    spans = [(0.0, 1.0), (1.0, 2.0)]
+    assert double_check_speech_segments(spans, post, speech_th=0.5) == [(0.0, 1.0)]
+
+
+def test_get_speech_segments_pipeline():
+    sr = 16000
+    audio = np.concatenate([
+        _tone(1.0), _silence(1.0), _tone(0.1), _silence(1.0), _tone(2.0),
+    ])
+    spans = get_speech_segments(audio, sr, apply_energy_VAD=True)
+    # the 0.1 s blip must be dropped (len_th=0.25); two real spans remain
+    assert len(spans) == 2
+    assert spans[0][0] == pytest.approx(0.0, abs=0.2)
+    assert spans[0][1] == pytest.approx(1.0, abs=0.25)
+    assert spans[1][0] == pytest.approx(3.1, abs=0.3)
+    assert spans[1][1] == pytest.approx(5.1, abs=0.3)
+
+
+def test_get_speech_segments_quartered_offsets():
+    """The MemoryError fallback runs per quarter and offsets spans by the
+    quarter start (reference extract_embeddings.py:314-369)."""
+    sr = 16000
+    # 8 s total -> 2 s quarters; speech only in the 2nd and 4th quarters
+    audio = np.concatenate([
+        _silence(2.0), _tone(2.0, hz=300.0), _silence(2.0), _tone(2.0, hz=150.0),
+    ])
+    spans = get_speech_segments_quartered(audio, sr, n_parts=4, apply_energy_VAD=False)
+    whole = get_speech_segments(audio, sr, apply_energy_VAD=False)
+    assert len(spans) == 2
+    for (qs, qe), (ws, we) in zip(spans, whole):
+        assert qs == pytest.approx(ws, abs=0.3)
+        assert qe == pytest.approx(we, abs=0.3)
+    assert spans[0][0] == pytest.approx(2.0, abs=0.3)
+    assert spans[1][0] == pytest.approx(6.0, abs=0.3)
