@@ -79,8 +79,11 @@ def load_weights(npz_path: str) -> dict:
         lp["b"] = jnp.asarray(data[f"conv{i}_b"])
         for k in ("scale", "bias", "mean", "var"):
             lp["bn"][k] = jnp.asarray(data[f"bn{i}_{k}"])
-    params["proj_w"] = jnp.asarray(data["proj_w"])
-    params["proj_b"] = jnp.asarray(data["proj_b"])
+    # torchcrepe's classifier head is 360-way pitch bins; our 256-d feature
+    # projection is framework-owned, so converted npz files may omit it
+    if "proj_w" in data:
+        params["proj_w"] = jnp.asarray(data["proj_w"])
+        params["proj_b"] = jnp.asarray(data["proj_b"])
     return params
 
 

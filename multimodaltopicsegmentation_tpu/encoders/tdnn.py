@@ -121,85 +121,158 @@ def xvector_apply(params: dict, feats: jnp.ndarray, frame_mask: jnp.ndarray) -> 
 # ---------------------------------------------------------------------------
 
 
+def _tdnn_block_init(rng, k, cin, cout):
+    """speechbrain TDNNBlock = Conv1d -> ReLU -> BatchNorm1d."""
+    return {
+        "w": jax.random.normal(rng, (k, cin, cout)) * (1.0 / np.sqrt(k * cin)),
+        "b": jnp.zeros((cout,)),
+        "bn": {"scale": jnp.ones((cout,)), "bias": jnp.zeros((cout,)),
+               "mean": jnp.zeros((cout,)), "var": jnp.ones((cout,))},
+    }
+
+
+def _tdnn_block_apply(p, x, dilation=1):
+    return _bn(p["bn"], jax.nn.relu(_conv1d_ncl(x, p["w"], p["b"], dilation=dilation)))
+
+
 def ecapa_init(rng, n_mels: int = 80, channels: int = 512, emb_dim: int = 192,
-               scale: int = 8) -> dict:
+               scale: int = 8, se_channels: int = 128, attn_channels: int = 128) -> dict:
+    """Mirrors speechbrain.lobes.models.ECAPA_TDNN.ECAPA_TDNN exactly
+    (channels [512]*4+[1536... here mfa=3*channels->1536-analogue], kernels
+    [5,3,3,3], dilations [1,2,3,4], res2net scale 8, global-context ASP) so
+    spkrec-ecapa-voxceleb weights map 1:1 via ecapa_load_npz."""
     def conv(rng, k, cin, cout):
         return {
             "w": jax.random.normal(rng, (k, cin, cout)) * (1.0 / np.sqrt(k * cin)),
             "b": jnp.zeros((cout,)),
         }
 
-    keys = iter(jax.random.split(rng, 64))
-    p = {"stem": conv(next(keys), 5, n_mels, channels),
-         "stem_bn": {"scale": jnp.ones((channels,)), "bias": jnp.zeros((channels,))},
-         "blocks": []}
+    keys = iter(jax.random.split(rng, 128))
+    mfa_out = 3 * channels  # speechbrain uses channels[-1] = 1536 for C=512
+    p = {"stem": _tdnn_block_init(next(keys), 5, n_mels, channels), "blocks": []}
     width = channels // scale
     for _dil in ECAPA_DILATIONS:
         block = {
-            "in": conv(next(keys), 1, channels, channels),
-            "convs": [conv(next(keys), 3, width, width) for _ in range(scale - 1)],
-            "out": conv(next(keys), 1, channels, channels),
-            "se1": conv(next(keys), 1, channels, 128),
-            "se2": conv(next(keys), 1, 128, channels),
-            "bn": {"scale": jnp.ones((channels,)), "bias": jnp.zeros((channels,))},
+            "tdnn1": _tdnn_block_init(next(keys), 1, channels, channels),
+            "res2net": [_tdnn_block_init(next(keys), 3, width, width)
+                        for _ in range(scale - 1)],
+            "tdnn2": _tdnn_block_init(next(keys), 1, channels, channels),
+            "se1": conv(next(keys), 1, channels, se_channels),
+            "se2": conv(next(keys), 1, se_channels, channels),
         }
         p["blocks"].append(block)
-    cat = channels * 3
-    p["mfa"] = conv(next(keys), 1, cat, 1536)
-    p["att1"] = conv(next(keys), 1, 1536 * 3, 128)
-    p["att2"] = conv(next(keys), 1, 128, 1536)
-    p["emb_w"] = jax.random.normal(next(keys), (2 * 1536, emb_dim)) * 0.01
-    p["emb_b"] = jnp.zeros((emb_dim,))
+    p["mfa"] = _tdnn_block_init(next(keys), 1, channels * 3, mfa_out)
+    p["asp_tdnn"] = _tdnn_block_init(next(keys), 1, mfa_out * 3, attn_channels)
+    p["asp_conv"] = conv(next(keys), 1, attn_channels, mfa_out)
+    p["asp_bn"] = {"scale": jnp.ones((2 * mfa_out,)), "bias": jnp.zeros((2 * mfa_out,)),
+                   "mean": jnp.zeros((2 * mfa_out,)), "var": jnp.ones((2 * mfa_out,))}
+    p["fc_w"] = jax.random.normal(next(keys), (2 * mfa_out, emb_dim)) * 0.01
+    p["fc_b"] = jnp.zeros((emb_dim,))
     return p
 
 
 def ecapa_apply(params: dict, feats: jnp.ndarray, frame_mask: jnp.ndarray,
                 scale: int = 8) -> jnp.ndarray:
-    x = _conv1d_ncl(feats, params["stem"]["w"], params["stem"]["b"])
-    x = jax.nn.relu(x)
-    x = _bn(params["stem_bn"], x)
+    m = frame_mask[:, None]
+    cnt = jnp.maximum(jnp.sum(m), 1.0)
+    x = _tdnn_block_apply(params["stem"], feats)
 
     outs = []
     for bi, block in enumerate(params["blocks"]):
         dilation = ECAPA_DILATIONS[bi]
         res = x
-        h = jax.nn.relu(_conv1d_ncl(x, block["in"]["w"], block["in"]["b"]))
+        # SERes2NetBlock: tdnn1 -> res2net -> tdnn2 -> SE -> + residual
+        h = _tdnn_block_apply(block["tdnn1"], x)
         chunks = jnp.split(h, scale, axis=-1)
         ys = [chunks[0]]
         prev = None
-        for i, conv in enumerate(block["convs"]):
+        for i, sub in enumerate(block["res2net"]):
             inp = chunks[i + 1] if prev is None else chunks[i + 1] + prev
-            prev = jax.nn.relu(_conv1d_ncl(inp, conv["w"], conv["b"], dilation=dilation))
+            prev = _tdnn_block_apply(sub, inp, dilation=dilation)
             ys.append(prev)
         h = jnp.concatenate(ys, axis=-1)
-        h = jax.nn.relu(_conv1d_ncl(h, block["out"]["w"], block["out"]["b"]))
-        # squeeze-excitation over masked time mean
-        m = frame_mask[:, None]
-        s = jnp.sum(h * m, axis=0) / jnp.maximum(jnp.sum(m), 1.0)
+        h = _tdnn_block_apply(block["tdnn2"], h)
+        # squeeze-excitation over the masked time mean
+        s = jnp.sum(h * m, axis=0) / cnt
         s = jax.nn.relu(s @ block["se1"]["w"][0] + block["se1"]["b"])
         s = jax.nn.sigmoid(s @ block["se2"]["w"][0] + block["se2"]["b"])
-        h = h * s[None, :]
-        x = _bn(block["bn"], h + res)
+        x = res + h * s[None, :]
         outs.append(x)
 
     cat = jnp.concatenate(outs, axis=-1)
-    h = jax.nn.relu(_conv1d_ncl(cat, params["mfa"]["w"], params["mfa"]["b"]))
+    h = _tdnn_block_apply(params["mfa"], cat)
 
     # attentive statistics pooling with global context
-    m = frame_mask[:, None]
-    cnt = jnp.maximum(jnp.sum(m), 1.0)
     mu = jnp.sum(h * m, axis=0) / cnt
     sg = jnp.sqrt(jnp.maximum(jnp.sum(m * (h - mu) ** 2, axis=0) / cnt, 1e-10))
     T = h.shape[0]
     ctx = jnp.concatenate([h, jnp.tile(mu, (T, 1)), jnp.tile(sg, (T, 1))], axis=-1)
-    a = jnp.tanh(_conv1d_ncl(ctx, params["att1"]["w"], params["att1"]["b"]))
-    a = _conv1d_ncl(a, params["att2"]["w"], params["att2"]["b"])
+    a = jnp.tanh(_tdnn_block_apply(params["asp_tdnn"], ctx))
+    a = _conv1d_ncl(a, params["asp_conv"]["w"], params["asp_conv"]["b"])
     a = jnp.where(m > 0, a, -1e9)
     a = jax.nn.softmax(a, axis=0)
     mean = jnp.sum(a * h, axis=0)
     var = jnp.sum(a * (h - mean) ** 2, axis=0)
     stats = jnp.concatenate([mean, jnp.sqrt(jnp.maximum(var, 1e-10))])
-    return stats @ params["emb_w"] + params["emb_b"]
+    stats = _bn(params["asp_bn"], stats[None, :])[0]
+    return stats @ params["fc_w"] + params["fc_b"]
+
+
+# ---------------------------------------------------------------------------
+# npz weight import (schemas written by tools/convert_weights.py)
+# ---------------------------------------------------------------------------
+
+
+def _bn_from(d, prefix):
+    bn = {"scale": jnp.asarray(d[f"{prefix}_scale"]),
+          "bias": jnp.asarray(d[f"{prefix}_bias"])}
+    if f"{prefix}_mean" in d:
+        bn["mean"] = jnp.asarray(d[f"{prefix}_mean"])
+        bn["var"] = jnp.asarray(d[f"{prefix}_var"])
+    return bn
+
+
+def _tdnn_from(d, prefix):
+    return {"w": jnp.asarray(d[f"{prefix}_w"]), "b": jnp.asarray(d[f"{prefix}_b"]),
+            "bn": _bn_from(d, f"{prefix}_bn")}
+
+
+def xvector_load_npz(path_or_dict) -> dict:
+    """Flat npz (tdnn{i}_w/_b/_bn_* + emb_w[/emb_b]) -> xvector pytree."""
+    d = np.load(path_or_dict) if isinstance(path_or_dict, (str, os.PathLike)) else path_or_dict
+    params = {"tdnn": []}
+    for i in range(len(XVEC_LAYERS)):
+        params["tdnn"].append({
+            "w": jnp.asarray(d[f"tdnn{i}_w"]),
+            "b": jnp.asarray(d[f"tdnn{i}_b"]),
+            "bn": _bn_from(d, f"tdnn{i}_bn"),
+        })
+    params["emb_w"] = jnp.asarray(d["emb_w"])
+    emb_dim = params["emb_w"].shape[1]
+    params["emb_b"] = jnp.asarray(d["emb_b"]) if "emb_b" in d else jnp.zeros((emb_dim,))
+    return params
+
+
+def ecapa_load_npz(path_or_dict, scale: int = 8) -> dict:
+    """Flat npz (see tools/convert_weights.py map_ecapa_state_dict) ->
+    ecapa pytree."""
+    d = np.load(path_or_dict) if isinstance(path_or_dict, (str, os.PathLike)) else path_or_dict
+    p = {"stem": _tdnn_from(d, "stem"), "blocks": []}
+    for j in range(len(ECAPA_DILATIONS)):
+        p["blocks"].append({
+            "tdnn1": _tdnn_from(d, f"block{j}_tdnn1"),
+            "res2net": [_tdnn_from(d, f"block{j}_res2net{i}") for i in range(scale - 1)],
+            "tdnn2": _tdnn_from(d, f"block{j}_tdnn2"),
+            "se1": {"w": jnp.asarray(d[f"block{j}_se1_w"]), "b": jnp.asarray(d[f"block{j}_se1_b"])},
+            "se2": {"w": jnp.asarray(d[f"block{j}_se2_w"]), "b": jnp.asarray(d[f"block{j}_se2_b"])},
+        })
+    p["mfa"] = _tdnn_from(d, "mfa")
+    p["asp_tdnn"] = _tdnn_from(d, "asp_tdnn")
+    p["asp_conv"] = {"w": jnp.asarray(d["asp_conv_w"]), "b": jnp.asarray(d["asp_conv_b"])}
+    p["asp_bn"] = _bn_from(d, "asp_bn")
+    p["fc_w"] = jnp.asarray(d["fc_w"])
+    p["fc_b"] = jnp.asarray(d["fc_b"]) if "fc_b" in d else jnp.zeros((p["fc_w"].shape[1],))
+    return p
 
 
 # ---------------------------------------------------------------------------
@@ -223,9 +296,13 @@ class XVectorEncoder:
     dim = 512
     frame_level = False
 
-    def __init__(self):
-        _require_weights(self.name)
-        self.params = xvector_init(jax.random.PRNGKey(0))
+    def __init__(self, weights: str = None):
+        weights = weights or os.environ.get("MTS_XVECTOR_WEIGHTS")
+        if weights:
+            self.params = xvector_load_npz(weights)
+        else:
+            _require_weights(self.name)
+            self.params = xvector_init(jax.random.PRNGKey(0))
         self._apply = jax.jit(jax.vmap(xvector_apply, in_axes=(None, 0, 0)))
 
     def encode_document(self, audio, bounds, chunk=128):
@@ -237,9 +314,13 @@ class EcapaEncoder:
     dim = 192
     frame_level = False
 
-    def __init__(self):
-        _require_weights(self.name)
-        self.params = ecapa_init(jax.random.PRNGKey(0))
+    def __init__(self, weights: str = None):
+        weights = weights or os.environ.get("MTS_ECAPA_WEIGHTS")
+        if weights:
+            self.params = ecapa_load_npz(weights)
+        else:
+            _require_weights(self.name)
+            self.params = ecapa_init(jax.random.PRNGKey(0))
         self._apply = jax.jit(jax.vmap(ecapa_apply, in_axes=(None, 0, 0)))
 
     def encode_document(self, audio, bounds, chunk=64):

@@ -1,0 +1,205 @@
+"""npz weight-schema fixtures: converter mapping -> reader -> forward.
+
+Real pretrained checkpoints are unreachable here (zero egress), so these
+tests lock the CONTRACT instead: tiny random state_dicts with the upstream
+packages' published key layouts go through tools/convert_weights.py's pure
+mapping functions, the resulting npz files through the encoders' readers,
+and the loaded pytrees through the actual forwards.
+"""
+import os
+import sys
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+from convert_weights import map_ecapa_state_dict, map_xvector_state_dict  # noqa: E402
+
+from multimodaltopicsegmentation_tpu.encoders import tdnn  # noqa: E402
+
+
+def _bn_entries(rng, base, c):
+    return {
+        f"{base}.norm.weight": rng.standard_normal(c).astype(np.float32),
+        f"{base}.norm.bias": rng.standard_normal(c).astype(np.float32),
+        f"{base}.norm.running_mean": rng.standard_normal(c).astype(np.float32),
+        f"{base}.norm.running_var": rng.random(c).astype(np.float32) + 0.5,
+    }
+
+
+def _conv_entries(rng, base, cout, cin, k, nested=True):
+    """speechbrain Conv1d: key `<base>.conv.weight` (the wrapper's inner
+    nn.Conv1d) with torch layout [Cout, Cin, K]."""
+    key = f"{base}.conv.weight" if nested else f"{base}.weight"
+    bkey = f"{base}.conv.bias" if nested else f"{base}.bias"
+    return {
+        key: rng.standard_normal((cout, cin, k)).astype(np.float32) * 0.1,
+        bkey: rng.standard_normal(cout).astype(np.float32) * 0.1,
+    }
+
+
+def _fake_ecapa_state_dict(rng, n_mels=5, C=16, scale=8, se=4, attn=4, emb=8):
+    """spkrec-ecapa-voxceleb embedding_model key layout, tiny shapes."""
+    w = C // scale
+    mfa_out = 3 * C
+    sd = {}
+    sd.update(_conv_entries(rng, "blocks.0.conv", C, n_mels, 5))
+    sd.update(_bn_entries(rng, "blocks.0.norm", C))
+    for j in (1, 2, 3):
+        b = f"blocks.{j}"
+        sd.update(_conv_entries(rng, f"{b}.tdnn1.conv", C, C, 1))
+        sd.update(_bn_entries(rng, f"{b}.tdnn1.norm", C))
+        for i in range(scale - 1):
+            sd.update(_conv_entries(rng, f"{b}.res2net_block.blocks.{i}.conv", w, w, 3))
+            sd.update(_bn_entries(rng, f"{b}.res2net_block.blocks.{i}.norm", w))
+        sd.update(_conv_entries(rng, f"{b}.tdnn2.conv", C, C, 1))
+        sd.update(_bn_entries(rng, f"{b}.tdnn2.norm", C))
+        sd.update(_conv_entries(rng, f"{b}.se_block.conv1", se, C, 1))
+        sd.update(_conv_entries(rng, f"{b}.se_block.conv2", C, se, 1))
+    sd.update(_conv_entries(rng, "mfa.conv", mfa_out, 3 * C, 1))
+    sd.update(_bn_entries(rng, "mfa.norm", mfa_out))
+    sd.update(_conv_entries(rng, "asp.tdnn.conv", attn, 3 * mfa_out, 1))
+    sd.update(_bn_entries(rng, "asp.tdnn.norm", attn))
+    sd.update(_conv_entries(rng, "asp.conv", mfa_out, attn, 1))
+    sd.update(_bn_entries(rng, "asp_bn", 2 * mfa_out))
+    sd.update(_conv_entries(rng, "fc", emb, 2 * mfa_out, 1))
+    return sd
+
+
+def test_ecapa_mapping_matches_init_schema(tmp_path, rng):
+    """Converted arrays must load into the exact pytree ecapa_init builds."""
+    sd = _fake_ecapa_state_dict(rng)
+    arrays = map_ecapa_state_dict(sd)
+    out = str(tmp_path / "ecapa.npz")
+    np.savez(out, **arrays)
+
+    loaded = tdnn.ecapa_load_npz(out)
+    ref = tdnn.ecapa_init(jax.random.PRNGKey(0), n_mels=5, channels=16,
+                          emb_dim=8, se_channels=4, attn_channels=4)
+    ls, rs = jax.tree.structure(loaded), jax.tree.structure(ref)
+    assert ls == rs, f"{ls}\n!=\n{rs}"
+    for a, b in zip(jax.tree.leaves(loaded), jax.tree.leaves(ref)):
+        assert a.shape == b.shape, (a.shape, b.shape)
+
+
+def test_ecapa_loaded_forward(tmp_path, rng):
+    sd = _fake_ecapa_state_dict(rng)
+    np.savez(str(tmp_path / "e.npz"), **map_ecapa_state_dict(sd))
+    params = tdnn.ecapa_load_npz(str(tmp_path / "e.npz"))
+    feats = jnp.asarray(rng.standard_normal((40, 5)), jnp.float32)
+    mask = jnp.ones((40,), jnp.float32)
+    emb = tdnn.ecapa_apply(params, feats, mask)
+    assert emb.shape == (8,)
+    assert np.all(np.isfinite(np.asarray(emb)))
+    # the imported weights must actually flow through the forward
+    arrays = map_ecapa_state_dict(sd)
+    arrays["fc_w"] = arrays["fc_w"] + 1.0
+    np.savez(str(tmp_path / "e2.npz"), **arrays)
+    emb2 = tdnn.ecapa_apply(tdnn.ecapa_load_npz(str(tmp_path / "e2.npz")), feats, mask)
+    assert not np.allclose(np.asarray(emb), np.asarray(emb2))
+
+
+def test_ecapa_gates_se_and_res2net_weights():
+    """Every fake state_dict tensor must land somewhere in the npz (no key
+    silently dropped)."""
+    rng = np.random.default_rng(0)
+    sd = _fake_ecapa_state_dict(rng)
+    arrays = map_ecapa_state_dict(sd)
+    n_in = sum(v.size for v in sd.values())
+    n_out = sum(v.size for v in arrays.values())
+    assert n_in == n_out
+
+
+def _fake_xvector_state_dict(rng, n_mels=6, C=8, stats=12, emb=10):
+    """speechbrain Xvector layout: blocks = [Conv1d, activation, BatchNorm1d]
+    x 5 then pooling + blocks.16 Linear. Conv1d here is the direct wrapper
+    (one nesting level: blocks.{3i}.conv.weight)."""
+    dims = [C, C, C, C, stats]
+    kernels = [5, 3, 3, 1, 1]
+    sd = {}
+    cin = n_mels
+    for i, (c, k) in enumerate(zip(dims, kernels)):
+        sd.update(_conv_entries(rng, f"blocks.{3*i}", c, cin, k, nested=True))
+        sd.update(_bn_entries(rng, f"blocks.{3*i+2}", c))
+        cin = c
+    sd["blocks.16.w.weight"] = rng.standard_normal((emb, 2 * stats)).astype(np.float32)
+    sd["blocks.16.w.bias"] = rng.standard_normal(emb).astype(np.float32)
+    return sd
+
+
+def test_xvector_mapping_and_forward(tmp_path, rng):
+    sd = _fake_xvector_state_dict(rng)
+    arrays = map_xvector_state_dict(sd)
+    out = str(tmp_path / "xv.npz")
+    np.savez(out, **arrays)
+    params = tdnn.xvector_load_npz(out)
+    feats = jnp.asarray(rng.standard_normal((30, 6)), jnp.float32)
+    emb = tdnn.xvector_apply(params, feats, jnp.ones((30,), jnp.float32))
+    assert emb.shape == (10,)
+    assert np.all(np.isfinite(np.asarray(emb)))
+
+
+def test_openl3_reader(tmp_path, rng):
+    """conv{i}/bn{i} npz schema feeds openl3.load_weights and the forward."""
+    from multimodaltopicsegmentation_tpu.encoders import openl3
+
+    ref = openl3.openl3_init(jax.random.PRNGKey(0), n_mels=32)
+    arrays, i = {}, 0
+    for block in ref["blocks"]:
+        for lp in block:
+            arrays[f"conv{i}_w"] = rng.standard_normal(lp["w"].shape).astype(np.float32) * 0.05
+            arrays[f"conv{i}_b"] = rng.standard_normal(lp["b"].shape).astype(np.float32) * 0.05
+            c = lp["b"].shape[0]
+            arrays[f"bn{i}_scale"] = np.ones(c, np.float32)
+            arrays[f"bn{i}_bias"] = np.zeros(c, np.float32)
+            arrays[f"bn{i}_mean"] = np.zeros(c, np.float32)
+            arrays[f"bn{i}_var"] = np.ones(c, np.float32)
+            i += 1
+    out = str(tmp_path / "o.npz")
+    np.savez(out, **arrays)
+    params = openl3.load_weights(out, n_mels=32)
+    np.testing.assert_array_equal(
+        np.asarray(params["blocks"][0][0]["w"]), arrays["conv0_w"]
+    )
+    windows = jnp.asarray(rng.standard_normal((1, openl3.OPENL3_SR)), jnp.float32)
+    emb = openl3.openl3_apply(params, windows, n_mels=32)
+    assert emb.shape == (1, 512)
+    assert np.all(np.isfinite(np.asarray(emb)))
+
+
+def test_crepe_reader(tmp_path, rng):
+    from multimodaltopicsegmentation_tpu.encoders import crepe
+
+    ref = crepe.crepe_init(jax.random.PRNGKey(0))
+    arrays = {}
+    for i, lp in enumerate(ref["layers"]):
+        arrays[f"conv{i}_w"] = rng.standard_normal(lp["w"].shape).astype(np.float32) * 0.05
+        arrays[f"conv{i}_b"] = np.zeros(lp["b"].shape, np.float32)
+        c = lp["b"].shape[0]
+        arrays[f"bn{i}_scale"] = np.ones(c, np.float32)
+        arrays[f"bn{i}_bias"] = np.zeros(c, np.float32)
+        arrays[f"bn{i}_mean"] = np.zeros(c, np.float32)
+        arrays[f"bn{i}_var"] = np.ones(c, np.float32)
+    out = str(tmp_path / "c.npz")
+    np.savez(out, **arrays)
+    params = crepe.load_weights(out)  # proj omitted -> framework-owned proj
+    np.testing.assert_array_equal(np.asarray(params["layers"][0]["w"]), arrays["conv0_w"])
+    frames = jnp.asarray(rng.standard_normal((3, 1024)), jnp.float32)
+    emb = crepe.crepe_apply(params, frames)
+    assert emb.shape == (3, 256)
+    assert np.all(np.isfinite(np.asarray(emb)))
+
+
+def test_ecapa_encoder_adapter_loads_npz(tmp_path, rng, monkeypatch):
+    """MTS_ECAPA_WEIGHTS routes the engine adapter through the reader
+    without the random-weights smoke gate."""
+    sd = _fake_ecapa_state_dict(rng)
+    out = str(tmp_path / "e.npz")
+    np.savez(out, **map_ecapa_state_dict(sd))
+    monkeypatch.delenv("MTS_RANDOM_ENCODER_WEIGHTS", raising=False)
+    monkeypatch.setenv("MTS_ECAPA_WEIGHTS", out)
+    enc = tdnn.EcapaEncoder()
+    assert np.asarray(enc.params["fc_w"]).shape == (2 * 48, 8)

@@ -37,28 +37,104 @@ def convert_wav2vec2(name: str, out_dir: str):
           "encoders.wav2vec2.load_pretrained(out_dir)")
 
 
+def _sb_get(sd: dict, *candidates: str):
+    """First present key among speechbrain's wrapper-nesting variants
+    (Conv1d wraps nn.Conv1d as `.conv`, BatchNorm1d wraps as `.norm`; the
+    nesting depth differs across speechbrain versions)."""
+    for k in candidates:
+        if k in sd:
+            return np.asarray(sd[k])
+    raise KeyError(f"none of {candidates} in state dict ({len(sd)} keys)")
+
+
+def _sb_conv(sd: dict, base: str, out_dim: int = None):
+    """-> (w [K, Cin, Cout], b [Cout]) from a speechbrain Conv1d at `base`."""
+    w = _sb_get(sd, f"{base}.conv.weight", f"{base}.weight")  # [Cout, Cin, K]
+    try:
+        b = _sb_get(sd, f"{base}.conv.bias", f"{base}.bias")
+    except KeyError:
+        b = np.zeros(w.shape[0], w.dtype)
+    return np.transpose(w, (2, 1, 0)), b
+
+
+def _sb_bn(sd: dict, base: str) -> dict:
+    out = {}
+    for stat, ours in (("weight", "scale"), ("bias", "bias"),
+                       ("running_mean", "mean"), ("running_var", "var")):
+        out[ours] = _sb_get(sd, f"{base}.norm.{stat}", f"{base}.{stat}")
+    return out
+
+
+def _put_tdnn(arrays: dict, prefix: str, sd: dict, conv_base: str, norm_base: str):
+    arrays[f"{prefix}_w"], arrays[f"{prefix}_b"] = _sb_conv(sd, conv_base)
+    for k, v in _sb_bn(sd, norm_base).items():
+        arrays[f"{prefix}_bn_{k}"] = v
+
+
+def map_xvector_state_dict(sd: dict) -> dict:
+    """speechbrain Xvector embedding_model state_dict -> flat npz arrays
+    for encoders.tdnn.xvector_load_npz. Layout: blocks = [Conv1d, ReLU,
+    BatchNorm1d] x 5, then StatisticsPooling, then Linear (blocks.16 or a
+    top-level fc depending on version)."""
+    arrays = {}
+    for i in range(5):
+        _put_tdnn(arrays, f"tdnn{i}", sd, f"blocks.{3*i}", f"blocks.{3*i+2}")
+    w = _sb_get(sd, "blocks.16.w.weight", "fc.w.weight", "blocks.16.weight")
+    arrays["emb_w"] = np.transpose(w)
+    try:
+        arrays["emb_b"] = _sb_get(sd, "blocks.16.w.bias", "fc.w.bias", "blocks.16.bias")
+    except KeyError:
+        pass
+    return arrays
+
+
+def map_ecapa_state_dict(sd: dict, scale: int = 8, n_blocks: int = 3) -> dict:
+    """speechbrain ECAPA_TDNN embedding_model state_dict -> flat npz arrays
+    for encoders.tdnn.ecapa_load_npz.
+
+    Published layout (speechbrain.lobes.models.ECAPA_TDNN, the
+    spkrec-ecapa-voxceleb checkpoint):
+      blocks.0                      TDNNBlock stem (k=5)
+      blocks.{1..3}                 SERes2NetBlock:
+        .tdnn1 / .tdnn2             TDNNBlock (k=1)
+        .res2net_block.blocks.{i}   TDNNBlock (k=3), i in 0..scale-2
+        .se_block.conv1/.conv2      SEBlock convs (k=1)
+      mfa                           TDNNBlock (k=1) over the 3 block outputs
+      asp.tdnn / asp.conv           attentive-stats attention (global ctx)
+      asp_bn                        BatchNorm1d over the pooled stats
+      fc                            Conv1d (k=1) to the 192-d embedding
+    """
+    arrays = {}
+    _put_tdnn(arrays, "stem", sd, "blocks.0.conv", "blocks.0.norm")
+    for j in range(n_blocks):
+        b = f"blocks.{j + 1}"
+        _put_tdnn(arrays, f"block{j}_tdnn1", sd, f"{b}.tdnn1.conv", f"{b}.tdnn1.norm")
+        for i in range(scale - 1):
+            _put_tdnn(arrays, f"block{j}_res2net{i}", sd,
+                      f"{b}.res2net_block.blocks.{i}.conv",
+                      f"{b}.res2net_block.blocks.{i}.norm")
+        _put_tdnn(arrays, f"block{j}_tdnn2", sd, f"{b}.tdnn2.conv", f"{b}.tdnn2.norm")
+        for se in ("se1", "se2"):
+            w, bias = _sb_conv(sd, f"{b}.se_block.conv{se[-1]}")
+            arrays[f"block{j}_{se}_w"] = w
+            arrays[f"block{j}_{se}_b"] = bias
+    _put_tdnn(arrays, "mfa", sd, "mfa.conv", "mfa.norm")
+    _put_tdnn(arrays, "asp_tdnn", sd, "asp.tdnn.conv", "asp.tdnn.norm")
+    arrays["asp_conv_w"], arrays["asp_conv_b"] = _sb_conv(sd, "asp.conv")
+    for k, v in _sb_bn(sd, "asp_bn").items():
+        arrays[f"asp_bn_{k}"] = v
+    fc_w, fc_b = _sb_conv(sd, "fc")  # [1, Cin, Cout]
+    arrays["fc_w"] = fc_w[0]
+    arrays["fc_b"] = fc_b
+    return arrays
+
+
 def convert_speechbrain(kind: str, source: str, out: str):
     from speechbrain.pretrained import EncoderClassifier
 
     model = EncoderClassifier.from_hparams(source=source)
     sd = {k: v.detach().cpu().numpy() for k, v in model.mods.embedding_model.state_dict().items()}
-    arrays = {}
-    if kind == "xvector":
-        # speechbrain Xvector: blocks.{2i}.conv.weight [out, in, k]
-        for i in range(5):
-            w = sd[f"blocks.{3*i}.conv.conv.weight"] if f"blocks.{3*i}.conv.conv.weight" in sd else sd[f"blocks.{3*i}.conv.weight"]
-            arrays[f"tdnn{i}_w"] = np.transpose(w, (2, 1, 0))
-            arrays[f"tdnn{i}_b"] = sd.get(f"blocks.{3*i}.conv.bias", np.zeros(w.shape[0]))
-            for stat, ours in (("weight", "scale"), ("bias", "bias"),
-                               ("running_mean", "mean"), ("running_var", "var")):
-                arrays[f"tdnn{i}_bn_{ours}"] = sd[f"blocks.{3*i+2}.norm.{stat}"]
-        arrays["emb_w"] = np.transpose(sd["blocks.16.w.weight"]) if "blocks.16.w.weight" in sd else np.transpose(sd["fc.w.weight"])
-    else:
-        raise SystemExit(
-            "ECAPA key mapping depends on the speechbrain version; dump "
-            "model.mods.embedding_model.state_dict() and map onto "
-            "encoders/tdnn.py ecapa_init() keys (stem/blocks/mfa/att/emb)."
-        )
+    arrays = map_xvector_state_dict(sd) if kind == "xvector" else map_ecapa_state_dict(sd)
     np.savez(out, **arrays)
     print(f"wrote {out} with {len(arrays)} arrays")
 
