@@ -82,23 +82,30 @@ def load_dataset_from_precomputed(
 
     directories = embedding_directory.split("+")
 
-    train_phase, test_phase = True, False
+    # CONTRACT: under a standard split the reference iterates the embedding
+    # dir only to BOUND the number of iterations; the document actually
+    # loaded comes from consuming the split lists as stacks — train, then
+    # test, then validation, popping from the END of each list
+    # (load_datasets_precomputed.py:146-156). Fold membership and in-fold
+    # document order (hence batch composition) depend on this, so the
+    # listdir bound, the skip-before-pop behavior for artifact/excluded
+    # entries, and the reversed consumption order are all kept.
+    phase = 0  # 0=train, 1=test, 2=validation (standard split only)
     for file in sorted(os.listdir(directories[0])):
-        if file[-16:] == ":Zone.Identifier":
+        if file.endswith(":Zone.Identifier"):
             continue
         if file[:-4] in EXCLUDED_IDS:
             continue
 
         if standard_split:
-            # the reference consumes the split lists as stacks (pop from end)
             if split_lists["train"]:
                 file = split_lists["train"].pop()
             elif split_lists["test"]:
                 file = split_lists["test"].pop()
-                train_phase, test_phase = False, True
+                phase = 1
             elif split_lists.get("validation"):
-                train_phase, test_phase = False, False
                 file = split_lists["validation"].pop()
+                phase = 2
             else:
                 break
 
@@ -117,34 +124,32 @@ def load_dataset_from_precomputed(
             )
 
         if len(labs.get(file_name, [])) < 1:
-            print(f"Warning: {file_name} has no data")
+            print(f"warning: skipping {file_name} — empty label entry")
             continue
         lab = list(labs[file_name])
         lab[-1] = 0
 
         if mask_inner_sentences:
             original_data.append((emb.copy(), list(lab), file))
+            # CONTRACT: the reference seeds np.random with 1 PER DOCUMENT and
+            # draws one uniform per original unit in order, dropping
+            # non-boundary units whose draw exceeds the keep probability
+            # (load_datasets_precomputed.py:174-185). Which units survive is
+            # observable in every downstream artifact, so the seed, the
+            # number of draws, and their order must all be preserved; a
+            # single vectorized draw consumes the identical RNG stream.
             np.random.seed(1)
-            emb_list = [e for e in emb]
-            popped = 0
-            for index_e in range(len(emb)):
-                if np.random.rand() > mask_probability and not lab[index_e - popped]:
-                    emb_list.pop(index_e - popped)
-                    lab.pop(index_e - popped)
-                    popped += 1
-            emb = np.asarray(emb_list, np.float32)
+            draws = np.random.rand(len(emb))
+            keep = ~((draws > mask_probability) & (np.asarray(lab) == 0))
+            emb = np.ascontiguousarray(emb[keep], np.float32)
+            lab = [l for l, k in zip(lab, keep) if k]
 
         if sum(lab) < 1:
-            print(f"Warning: {file_name} has no positive topic boundaries")
+            print(f"warning: {file_name} contains no boundary labels after masking")
 
         doc: Doc = (emb, lab, file)
         if standard_split:
-            if train_phase:
-                data[0].append(doc)
-            elif test_phase:
-                data[1].append(doc)
-            else:
-                data[2].append(doc)
+            data[phase].append(doc)
         else:
             data.append(doc)
 
@@ -207,27 +212,33 @@ def cross_validation_split(
 
 
 def add_dataset(args, folds, fold2: bool = False):
-    """Merge the sibling corpus (RadioNews <-> NonNews) for --both_datasets."""
-    embedding_folder = args.embedding_folder2 if fold2 else args.embedding_folder
-    path = list(os.path.split(embedding_folder))
-    if len(path[0].split(os.path.sep)) > 1:
-        path = path[0].split(os.path.sep) + path[1:]
+    """Merge the sibling corpus (RadioNews <-> NonNews) for --both_datasets.
 
-    if path[0].startswith("RadioNews"):
-        second_root = re.sub("Radio", "Non", path[0])
-        new_path = [re.sub("radio", "non", p) for p in path[1:]]
-        split = os.path.join("..", second_root, "NonNews_split.json")
-    elif path[0].startswith("NonNews"):
-        second_root = re.sub("Non", "Radio", path[0])
-        new_path = [re.sub("non", "radio", p) for p in path[1:]]
-        split = os.path.join("..", second_root, "RadioNews_split.json")
+    CONTRACT: the sibling's embedding directory, labs pickle, and split JSON
+    are DERIVED from the primary folder's name by Radio<->Non substitution at
+    a fixed ../<corpus>/<corpus>/... layout (load_datasets_precomputed.py:14-54)
+    — the shell drivers rely on exactly this derivation.
+    """
+    embedding_folder = args.embedding_folder2 if fold2 else args.embedding_folder
+    parts = list(os.path.split(embedding_folder))
+    if len(parts[0].split(os.path.sep)) > 1:
+        parts = parts[0].split(os.path.sep) + parts[1:]
+
+    corpus = parts[0]
+    if corpus.startswith("RadioNews"):
+        swaps, sibling_split = (("Radio", "Non"), ("radio", "non")), "NonNews_split.json"
+    elif corpus.startswith("NonNews"):
+        swaps, sibling_split = (("Non", "Radio"), ("non", "radio")), "RadioNews_split.json"
     else:
         raise ValueError(
-            f"embedding folder {embedding_folder} is neither NonNews nor RadioNews"
+            f"--both_datasets needs a RadioNews or NonNews embedding folder, got {embedding_folder!r}"
         )
+    sibling_root = re.sub(swaps[0][0], swaps[0][1], corpus)
+    sibling_tail = [re.sub(swaps[1][0], swaps[1][1], p) for p in parts[1:]]
+    split = os.path.join("..", sibling_root, sibling_split)
 
-    new_embedding_folder = os.path.sep.join(["..", second_root, second_root] + new_path)
-    new_lab_folder = os.path.join("..", second_root, second_root, "labs_dict.pkl")
+    new_embedding_folder = os.path.sep.join(["..", sibling_root, sibling_root] + sibling_tail)
+    new_lab_folder = os.path.join("..", sibling_root, sibling_root, "labs_dict.pkl")
     if args.standard_split is None:
         split = None
 

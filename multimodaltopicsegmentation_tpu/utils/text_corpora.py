@@ -126,12 +126,168 @@ def load_wiki_corpus(root: str, **kwargs):
     return docs
 
 
-def load_text_dataset(name: str, root: str):
+def expand_label(boundary_indices: List[int], sentences: List[str]) -> List[int]:
+    """Sentence indices of segment ends -> dense 0/1 labels
+    (utils/load_datasets.py:12-16)."""
+    labels = [0] * len(sentences)
+    for i in boundary_indices:
+        labels[i] = 1
+    return labels
+
+
+def _segments_to_doc(segment_texts: List[str], delete_last_sentence: bool = False):
+    """Sentence-tokenize consecutive segment transcripts -> (sentences,
+    dense 0/1 labels); the last sentence of each segment is a boundary."""
+    sentences: List[str] = []
+    ends: List[int] = []
+    for seg in segment_texts:
+        seg_sents = split_sentences(seg)
+        if delete_last_sentence:
+            seg_sents = seg_sents[:-1]
+        sentences.extend(seg_sents)
+        ends.append(len(sentences) - 1)
+    ends = [e for e in ends if e >= 0]
+    return sentences, (expand_label(ends, sentences) if sentences else [])
+
+
+def load_bbc_corpus(root: str, delete_last_sentence: bool = False):
+    """BBC transcript corpus: train.json/test.json with
+    {"Transcripts": [{"Items": [segment texts], "Date": ...}]}
+    (utils/load_datasets.py:37-95). -> (train_docs, test_docs)."""
+    import json
+
+    out = []
+    for split_name in ("train", "test"):
+        with open(os.path.join(root, f"{split_name}.json")) as f:
+            payload = json.load(f)
+        docs = []
+        for show in payload["Transcripts"]:
+            sents, labels = _segments_to_doc(show["Items"], delete_last_sentence)
+            if sents:
+                docs.append((sents, labels, str(show.get("Date", ""))))
+        out.append(docs)
+    return tuple(out)
+
+
+def load_bbc_audio_corpus(root: str, delete_last_sentence: bool = False):
+    """AudioBBC/modconhack JSON exports: every *.json under `root` holds
+    data.getProgrammeById.segments[*].transcript (utils/load_datasets.py:97-132)."""
+    import json
+
+    docs = []
+    for dirpath, _dirs, files in os.walk(root):
+        for fname in sorted(files):
+            if not fname.endswith("json"):
+                continue
+            with open(os.path.join(dirpath, fname)) as f:
+                payload = json.load(f)
+            segments = payload["data"]["getProgrammeById"]["segments"]
+            sents, labels = _segments_to_doc(
+                [s["transcript"] for s in segments], delete_last_sentence
+            )
+            if sents:
+                docs.append((sents, labels, os.path.join(dirpath, fname)))
+    return docs
+
+
+def load_cnn_corpus(root: str, n_docs: int = 10, delete_last_sentence: bool = False):
+    """CNN10: doc1.txt..doc10.txt, sections separated by '====' lines
+    (utils/load_datasets.py:135-164). A leading separator line is ignored
+    (the reference would hit an undefined variable there — defect not
+    copied, SURVEY.md §7)."""
+    docs = []
+    for i in range(1, n_docs + 1):
+        path = os.path.join(root, f"doc{i}.txt")
+        with open(path, errors="ignore") as f:
+            text = f.read()
+        segment_texts = [
+            part.strip()
+            for part in re.split(r"^====.*$", text, flags=re.MULTILINE)
+            if part.strip()
+        ]
+        sents, labels = _segments_to_doc(segment_texts, delete_last_sentence)
+        if sents:
+            docs.append((sents, labels, path))
+    return docs
+
+
+def load_icsi_corpus(root: str, delete_last_sentence: bool = False):
+    """ICSI meeting corpus (mrda+hs layout): `segments/` holds one file per
+    meeting with a float segment-end time per line; `data/` holds CSVs whose
+    first column is `id_start_end` (start in ms) and second column the
+    utterance text (utils/load_datasets.py:186-251).
+
+    Label semantics preserved from the reference: walking utterances in
+    order, when an utterance's start passes the next segment-end time the
+    PREVIOUS utterance is marked a boundary (at most one segment advance per
+    utterance); the final utterance is always a boundary.
+    """
+    import csv
+
+    seg_dir = os.path.join(root, "segments")
+    data_dir = os.path.join(root, "data")
+    seg_files = os.listdir(seg_dir)
+    docs = []
+    for dirpath, _dirs, files in os.walk(data_dir):
+        for fname in sorted(files):
+            if fname.endswith("dadb"):
+                continue
+            matches = [s for s in seg_files if re.search(re.escape(fname[:-6]), s)]
+            if not matches:
+                continue
+            seg_ends = []
+            with open(os.path.join(seg_dir, matches[0])) as f:
+                for line in f:
+                    found = re.findall(r"\d+\.\d+", line)
+                    if found:
+                        seg_ends.append(float(found[0]))
+
+            texts, starts = [], []
+            with open(os.path.join(dirpath, fname)) as f:
+                for row in csv.reader(f):
+                    if len(row) < 2:
+                        continue
+                    texts.append(row[1])
+                    starts.append(int(row[0].split("_")[1]))
+
+            labels: List[int] = []
+            kept_texts: List[str] = []
+            seg_idx = 0
+            for start, text in zip(starts, texts):
+                if seg_idx < len(seg_ends) and start > seg_ends[seg_idx] * 1000:
+                    if seg_idx > 0 and labels:
+                        if delete_last_sentence:
+                            # drop the boundary utterance, promote the one before
+                            if len(labels) >= 2:
+                                labels[-2] = 1
+                            labels.pop()
+                            kept_texts.pop()
+                        else:
+                            labels[-1] = 1
+                    seg_idx += 1
+                labels.append(0)
+                kept_texts.append(text)
+            if not labels:
+                continue
+            labels[-1] = 1
+            docs.append((kept_texts, labels, os.path.join(dirpath, fname)))
+    return docs
+
+
+def load_text_dataset(name: str, root: str, **kwargs):
     """Dispatch matching the reference's corpus names
-    (utils/load_datasets.py: choi / wiki / BBC-style folders)."""
+    (utils/load_datasets.py load_dataset branches)."""
     name = name.lower()
     if name == "choi":
         return load_choi_corpus(root)
-    if name in ("wiki", "wiki727", "wikisection", "bbc", "cnn", "icsi"):
+    if name in ("wiki", "wiki727", "wikisection"):
         return load_wiki_corpus(root)
+    if name == "bbc":
+        return load_bbc_corpus(root, **kwargs)
+    if name == "bbcaudio":
+        return load_bbc_audio_corpus(root, **kwargs)
+    if name == "cnn":
+        return load_cnn_corpus(root, **kwargs)
+    if name == "icsi":
+        return load_icsi_corpus(root, **kwargs)
     raise ValueError(f"unknown text corpus {name!r}")
