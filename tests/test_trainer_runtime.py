@@ -138,3 +138,53 @@ def test_detect_anomaly_off_trains_through(tmp_path, rng):
     batch = _batch(rng, B=2, L=10)
     batch["src_tokens"][0, 0, 0] = np.nan
     trainer.fit([batch])  # must not raise
+
+
+def test_mesh_fit_late_fusion_matches_single_device(tmp_path, rng):
+    """The 'double' extra input (second modality) shards with the batch."""
+    cfg = TaggerConfig(embedding_dim=12, embedding_dim2=10, hidden_dim=8,
+                       num_layers=1, loss_fn="FocalLoss")
+    B, L = 7, 12
+    batch = {
+        "src_tokens": rng.standard_normal((B, L, 12)).astype(np.float32),
+        "src_tokens2": rng.standard_normal((B, L, 10)).astype(np.float32),
+        "tgt_tokens": (rng.random((B, L)) < 0.2).astype(np.float32),
+        "src_lengths": np.full((B,), L, np.int32),
+        "n_real": B,
+    }
+
+    def fit(mesh, sub):
+        t = Trainer("BiLSTMLateFusion", cfg, lr=1e-3, max_epochs=2,
+                    monitor="training_loss", check_dir=str(tmp_path / sub), mesh=mesh)
+        _, hist = t.fit([dict(batch)])
+        return hist
+
+    hist_ref = fit(None, "a")
+    hist_mesh = fit(make_mesh(8, model_parallel=1), "b")
+    for r, m in zip(hist_ref, hist_mesh):
+        assert r["training_loss"] == pytest.approx(m["training_loss"], rel=2e-5)
+
+
+def test_mesh_fit_domain_adapt_matches_single_device(tmp_path, rng):
+    """The 'domain' extra input (per-doc ids) shards with the batch."""
+    cfg = TaggerConfig(embedding_dim=12, hidden_dim=8, num_layers=1,
+                       loss_fn="FocalLoss")
+    B, L = 7, 12
+    batch = {
+        "src_tokens": rng.standard_normal((B, L, 12)).astype(np.float32),
+        "tgt_tokens": (rng.random((B, L)) < 0.2).astype(np.float32),
+        "src_lengths": np.full((B,), L, np.int32),
+        "domain": (rng.random(B) < 0.5).astype(np.int32),
+        "n_real": B,
+    }
+
+    def fit(mesh, sub):
+        t = Trainer("SwitchBiLSTM", cfg, lr=1e-3, max_epochs=2,
+                    monitor="training_loss", check_dir=str(tmp_path / sub), mesh=mesh)
+        _, hist = t.fit([dict(batch)])
+        return hist
+
+    hist_ref = fit(None, "a")
+    hist_mesh = fit(make_mesh(8, model_parallel=1), "b")
+    for r, m in zip(hist_ref, hist_mesh):
+        assert r["training_loss"] == pytest.approx(m["training_loss"], rel=2e-5)
