@@ -1,0 +1,157 @@
+#!/usr/bin/env python
+"""TPU smoke suite: compile + run every hot path on the REAL device.
+
+The pytest suite deliberately pins itself to the 8-virtual-device CPU mesh
+(tests/conftest.py) for exact numerics, which means nothing CI-shaped
+asserts that the axon/TPU lowering of each kernel still works. This script
+is that check: tiny shapes, one pass per subsystem, PASS/FAIL per line,
+exit code 1 if anything fails.
+
+Run directly (`python scripts/tpu_smoke.py`) or through the env-gated
+pytest wrapper (`MTS_TPU_TESTS=1 python -m pytest tests/test_tpu_smoke.py`).
+"""
+import os
+import sys
+import traceback
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _check(name, fn):
+    try:
+        fn()
+        print(f"PASS {name}")
+        return True
+    except Exception:
+        print(f"FAIL {name}")
+        traceback.print_exc()
+        return False
+
+
+def main() -> int:
+    import jax
+    import jax.numpy as jnp
+
+    dev = jax.devices()[0]
+    print(f"device: {dev} ({dev.platform})")
+    rng = np.random.default_rng(0)
+    ok = True
+
+    def flagship_decode():
+        from multimodaltopicsegmentation_tpu.models.base import TaggerConfig
+        from multimodaltopicsegmentation_tpu.models.registry import build
+
+        cfg = TaggerConfig(embedding_dim=64, hidden_dim=32, num_layers=2, loss_fn="FocalLoss")
+        arch = build("BiLSTM", cfg)
+        params = arch.init(jax.random.PRNGKey(0))
+        x = jnp.asarray(rng.standard_normal((2, 48, 64)), jnp.float32)
+        lengths = jnp.asarray([48, 30])
+        scores, tags = jax.jit(lambda p, a, l: arch.decode(p, a, l, 0.5))(params, x, lengths)
+        assert np.all(np.isfinite(np.asarray(scores)))
+
+    def flagship_grad_step():
+        import optax
+
+        from multimodaltopicsegmentation_tpu.models.base import TaggerConfig
+        from multimodaltopicsegmentation_tpu.models.registry import build
+        from multimodaltopicsegmentation_tpu.train.loop import make_optimizer
+
+        cfg = TaggerConfig(embedding_dim=32, hidden_dim=16, num_layers=1, loss_fn="FocalLoss")
+        arch = build("BiLSTM", cfg)
+        params = arch.init(jax.random.PRNGKey(0))
+        tx = make_optimizer("Adam", 1e-3)
+        state = tx.init(params)
+        x = jnp.asarray(rng.standard_normal((2, 32, 32)), jnp.float32)
+        tags = jnp.asarray((rng.random((2, 32)) < 0.1).astype(np.float32))
+        lengths = jnp.asarray([32, 32])
+
+        @jax.jit
+        def step(p, s):
+            loss, g = jax.value_and_grad(lambda q: arch.loss(q, x, lengths, tags, rng=None))(p)
+            u, s = tx.update(g, s, p)
+            return optax.apply_updates(p, u), s, loss
+
+        _, _, loss = step(params, state)
+        assert np.isfinite(float(loss))
+
+    def crf_viterbi():
+        from multimodaltopicsegmentation_tpu.ops import crf
+
+        params = crf.crf_params(jax.random.PRNGKey(0), 8, 2)
+        feats = jnp.asarray(rng.standard_normal((2, 20, 8)), jnp.float32)
+        mask = jnp.ones((2, 20), jnp.float32)
+        score, paths = jax.jit(crf.viterbi_decode)(params, feats, mask)
+        assert np.asarray(paths).shape == (2, 20)
+
+    def blocked_local_attention():
+        from multimodaltopicsegmentation_tpu.ops.attention import local_attention
+
+        q = jnp.asarray(rng.standard_normal((1, 2, 64, 16)), jnp.float32)
+        mask = jnp.ones((1, 64), jnp.float32)
+        out = jax.jit(lambda q, m: local_attention(q, q, q, 16, m))(q, mask)
+        assert np.all(np.isfinite(np.asarray(out)))
+
+    def pallas_kernel():
+        from multimodaltopicsegmentation_tpu.ops.pallas_attention import (
+            pallas_local_attention,
+        )
+
+        q = jnp.asarray(rng.standard_normal((1, 2, 128, 16)), jnp.float32)
+        mask = jnp.ones((1, 128), jnp.float32)
+        out = jax.jit(lambda q, m: pallas_local_attention(q, q, q, 32, m))(q, mask)
+        assert np.all(np.isfinite(np.asarray(out)))
+
+    def prosodic_frontend():
+        from multimodaltopicsegmentation_tpu.dsp.prosody import mfcc_features, prosodic_features
+
+        sr = 16000
+        units = jnp.asarray(rng.standard_normal((4, sr)), jnp.float32) * 0.1
+        lengths = jnp.full((4,), sr, jnp.int32)
+        m = mfcc_features(units, lengths, sr)
+        assert np.asarray(m).shape == (4, 200)
+        p = prosodic_features(units, lengths, sr)
+        assert np.asarray(p).shape[1] == 167
+
+    def wav2vec2_forward():
+        from multimodaltopicsegmentation_tpu.encoders import wav2vec2 as w
+
+        cfg = w.Wav2Vec2Config.tiny()
+        params = w.init_params(jax.random.PRNGKey(0), cfg)
+        audio = jnp.asarray(rng.standard_normal((2, 8000)), jnp.float32)
+        out = jax.jit(lambda p, a: w.apply(p, cfg, a))(params, audio)
+        assert np.all(np.isfinite(np.asarray(out)))
+
+    def transformer_decode():
+        from multimodaltopicsegmentation_tpu.models.base import TaggerConfig
+        from multimodaltopicsegmentation_tpu.models.registry import build
+
+        cfg = TaggerConfig(embedding_dim=32, hidden_dim=32, num_layers=2,
+                           nheads=2, attention_window=8, loss_fn="FocalLoss")
+        arch = build("Transformer", cfg)
+        params = arch.init(jax.random.PRNGKey(0))
+        x = jnp.asarray(rng.standard_normal((1, 64, 32)), jnp.float32)
+        scores, tags = jax.jit(lambda p, a, l: arch.decode(p, a, l, 0.5))(
+            params, x, jnp.asarray([64])
+        )
+        assert np.all(np.isfinite(np.asarray(scores)))
+
+    checks = [
+        ("flagship BiLSTM decode", flagship_decode),
+        ("flagship grad step", flagship_grad_step),
+        ("CRF Viterbi", crf_viterbi),
+        ("blocked local attention", blocked_local_attention),
+        ("pallas local attention kernel", pallas_kernel),
+        ("prosodic/MFCC front-end", prosodic_frontend),
+        ("wav2vec2 forward", wav2vec2_forward),
+        ("transformer decode", transformer_decode),
+    ]
+    for name, fn in checks:
+        ok = _check(name, fn) and ok
+    print("SMOKE", "OK" if ok else "FAILED")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
