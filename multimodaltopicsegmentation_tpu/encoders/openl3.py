@@ -78,11 +78,10 @@ def _mel_image(audio_win: jnp.ndarray, n_mels: int) -> jnp.ndarray:
     return jnp.transpose(db)
 
 
-@partial(jax.jit, static_argnames=("n_mels",))
-def openl3_apply(params: dict, windows: jnp.ndarray, n_mels: int = 128) -> jnp.ndarray:
-    """windows: [N, S] 1-s 48 kHz -> [N, 512] embeddings."""
-    imgs = jax.vmap(lambda w: _mel_image(w, n_mels))(windows)  # [N, M, T]
-    x = imgs[..., None]  # NHWC
+def conv_trunk(params: dict, x: jnp.ndarray) -> jnp.ndarray:
+    """[N, H, W, 1] mel images -> [N, 512]: Conv2D(same)+BN+ReLU pairs with
+    2x2 max pools between blocks, global max pool at the end (the openl3
+    audio-embedding CNN from the mel image onward)."""
     for block in params["blocks"]:
         for lp in block:
             x = jax.lax.conv_general_dilated(
@@ -95,6 +94,13 @@ def openl3_apply(params: dict, windows: jnp.ndarray, n_mels: int = 128) -> jnp.n
                 x, -jnp.inf, jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID"
             )
     return jnp.max(x, axis=(1, 2))  # global max pool -> [N, 512]
+
+
+@partial(jax.jit, static_argnames=("n_mels",))
+def openl3_apply(params: dict, windows: jnp.ndarray, n_mels: int = 128) -> jnp.ndarray:
+    """windows: [N, S] 1-s 48 kHz -> [N, 512] embeddings."""
+    imgs = jax.vmap(lambda w: _mel_image(w, n_mels))(windows)  # [N, M, T]
+    return conv_trunk(params, imgs[..., None])
 
 
 def load_weights(npz_path: str, n_mels: int = 128) -> dict:

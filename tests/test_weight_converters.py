@@ -203,3 +203,70 @@ def test_ecapa_encoder_adapter_loads_npz(tmp_path, rng, monkeypatch):
     monkeypatch.setenv("MTS_ECAPA_WEIGHTS", out)
     enc = tdnn.EcapaEncoder()
     assert np.asarray(enc.params["fc_w"]).shape == (2 * 48, 8)
+
+
+def test_openl3_trunk_matches_keras(tmp_path, rng):
+    """Numeric parity of the openl3 conv trunk against REAL Keras semantics:
+    a Keras model with the openl3 layer sequence gets random weights, they
+    go through the converter's get_weights() extraction into the npz schema,
+    through load_weights, and the JAX trunk must reproduce Keras's output
+    (same-padding convs, eps=1e-3 batch norm inference, 2x2 max pools,
+    global max pool)."""
+    tf = pytest.importorskip("tensorflow")
+    from multimodaltopicsegmentation_tpu.encoders import openl3
+
+    M, T = 32, 24
+    inp = tf.keras.Input((M, T, 1))
+    x = inp
+    for bi, block in enumerate(openl3.CONV_BLOCKS):
+        for cout in block:
+            x = tf.keras.layers.Conv2D(cout, 3, padding="same")(x)
+            x = tf.keras.layers.BatchNormalization()(x)
+            x = tf.keras.layers.ReLU()(x)
+        if bi < len(openl3.CONV_BLOCKS) - 1:
+            x = tf.keras.layers.MaxPooling2D(2)(x)
+    x = tf.keras.layers.GlobalMaxPooling2D()(x)
+    model = tf.keras.Model(inp, x)
+
+    # randomize BN stats too (fresh BN layers have trivial ones)
+    for layer in model.layers:
+        if isinstance(layer, tf.keras.layers.BatchNormalization):
+            g, b, mu, var = layer.get_weights()
+            layer.set_weights([
+                rng.random(g.shape).astype(np.float32) + 0.5,
+                rng.standard_normal(b.shape).astype(np.float32) * 0.1,
+                rng.standard_normal(mu.shape).astype(np.float32) * 0.1,
+                rng.random(var.shape).astype(np.float32) + 0.5,
+            ])
+        elif isinstance(layer, tf.keras.layers.Conv2D):
+            w, b = layer.get_weights()
+            layer.set_weights([
+                rng.standard_normal(w.shape).astype(np.float32) * 0.1,
+                rng.standard_normal(b.shape).astype(np.float32) * 0.1,
+            ])
+
+    # the converter's extraction loop (tools/convert_weights.py convert_openl3)
+    arrays, ci, bi = {}, 0, 0
+    for layer in model.layers:
+        cls = type(layer).__name__
+        if cls == "Conv2D":
+            w, b = layer.get_weights()
+            arrays[f"conv{ci}_w"] = w
+            arrays[f"conv{ci}_b"] = b
+            ci += 1
+        elif cls == "BatchNormalization":
+            g, beta, mean, var = layer.get_weights()
+            arrays[f"bn{bi}_scale"] = g
+            arrays[f"bn{bi}_bias"] = beta
+            arrays[f"bn{bi}_mean"] = mean
+            arrays[f"bn{bi}_var"] = var
+            bi += 1
+    out = str(tmp_path / "keras.npz")
+    np.savez(out, **arrays)
+
+    params = openl3.load_weights(out, n_mels=M)
+    imgs = rng.standard_normal((2, M, T, 1)).astype(np.float32)
+    ours = np.asarray(openl3.conv_trunk(params, jnp.asarray(imgs)))
+    theirs = model(imgs, training=False).numpy()
+    # tolerance covers conv accumulation-order differences (oneDNN vs XLA)
+    np.testing.assert_allclose(ours, theirs, atol=5e-3, rtol=5e-4)
