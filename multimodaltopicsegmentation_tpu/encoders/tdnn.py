@@ -44,11 +44,19 @@ def _fbank(y: jnp.ndarray, n_mels: int) -> jnp.ndarray:
 
 
 def _conv1d_ncl(x, w, b, dilation=1):
-    """x: [T, C_in], w: [K, C_in, C_out] 'same' padding."""
+    """x: [T, C_in], w: [K, C_in, C_out] 'same' REFLECT padding.
+
+    speechbrain's Conv1d wrapper (used by every TDNNBlock in Xvector and
+    ECAPA_TDNN) defaults to padding='same', padding_mode='reflect' — zero
+    padding here would make converted pretrained weights see different
+    boundary frames than they were trained with.
+    """
     K = w.shape[0]
     pad = (K - 1) * dilation // 2
+    if pad > 0:
+        x = jnp.pad(x, ((pad, pad), (0, 0)), mode="reflect")
     out = jax.lax.conv_general_dilated(
-        x[None], w, window_strides=(1,), padding=[(pad, pad)],
+        x[None], w, window_strides=(1,), padding="VALID",
         rhs_dilation=(dilation,), dimension_numbers=("NWC", "WIO", "NWC"),
     )[0]
     return out + b

@@ -270,3 +270,82 @@ def test_openl3_trunk_matches_keras(tmp_path, rng):
     theirs = model(imgs, training=False).numpy()
     # tolerance covers conv accumulation-order differences (oneDNN vs XLA)
     np.testing.assert_allclose(ours, theirs, atol=5e-3, rtol=5e-4)
+
+
+def test_ecapa_matches_torch_replica(tmp_path, rng):
+    """Numeric parity of the ECAPA forward against an independent torch
+    replica of speechbrain's published architecture (reflect-padded 'same'
+    convs, TDNNBlock = conv->relu->BN(eval), SERes2Net chaining, SE over
+    the time mean, MFA concat, global-context attentive stats pooling,
+    stats BN, conv fc), fed from the same fake state_dict."""
+    import torch
+    import torch.nn.functional as F
+
+    sd = {k: torch.from_numpy(v) for k, v in _fake_ecapa_state_dict(rng).items()}
+    scale = 8
+
+    def tconv(x, base, dilation=1):
+        w, b = sd[f"{base}.conv.weight"], sd[f"{base}.conv.bias"]
+        k = w.shape[-1]
+        pad = (k - 1) * dilation // 2
+        if pad:
+            x = F.pad(x, (pad, pad), mode="reflect")
+        return F.conv1d(x, w, b, dilation=dilation)
+
+    def tbn(x, base, eps=1e-5):
+        return F.batch_norm(
+            x, sd[f"{base}.norm.running_mean"], sd[f"{base}.norm.running_var"],
+            sd[f"{base}.norm.weight"], sd[f"{base}.norm.bias"],
+            training=False, eps=eps,
+        )
+
+    def tblock(x, base, dilation=1):
+        return tbn(F.relu(tconv(x, f"{base}.conv", dilation)), f"{base}.norm")
+
+    T = 40
+    feats = rng.standard_normal((T, 5)).astype(np.float32)
+
+    with torch.no_grad():
+        x = torch.from_numpy(feats.T[None])  # [1, C, T]
+        x = tblock(x, "blocks.0")
+        outs = []
+        for j in (1, 2, 3):
+            b = f"blocks.{j}"
+            res = x
+            h = tblock(x, f"{b}.tdnn1")
+            chunks = torch.chunk(h, scale, dim=1)
+            ys = [chunks[0]]
+            prev = None
+            for i in range(scale - 1):
+                inp = chunks[i + 1] if prev is None else chunks[i + 1] + prev
+                prev = tblock(inp, f"{b}.res2net_block.blocks.{i}", dilation=j + 1)
+                ys.append(prev)
+            h = tblock(torch.cat(ys, dim=1), f"{b}.tdnn2")
+            s = h.mean(-1)  # full-length mask -> plain time mean
+            s = F.relu(F.conv1d(s[..., None], sd[f"{b}.se_block.conv1.conv.weight"],
+                                sd[f"{b}.se_block.conv1.conv.bias"]))
+            s = torch.sigmoid(F.conv1d(s, sd[f"{b}.se_block.conv2.conv.weight"],
+                                       sd[f"{b}.se_block.conv2.conv.bias"]))
+            x = res + h * s
+            outs.append(x)
+        h = tblock(torch.cat(outs, dim=1), "mfa")
+        mu = h.mean(-1, keepdim=True)
+        sg = torch.sqrt(((h - mu) ** 2).mean(-1, keepdim=True).clamp(min=1e-10))
+        ctx = torch.cat([h, mu.expand_as(h), sg.expand_as(h)], dim=1)
+        a = torch.tanh(tblock(ctx, "asp.tdnn"))
+        a = F.conv1d(a, sd["asp.conv.conv.weight"], sd["asp.conv.conv.bias"])
+        a = torch.softmax(a, dim=-1)
+        mean = (a * h).sum(-1)
+        var = (a * (h - mean[..., None]) ** 2).sum(-1)
+        stats = torch.cat([mean, torch.sqrt(var.clamp(min=1e-10))], dim=1)
+        stats = F.batch_norm(
+            stats, sd["asp_bn.norm.running_mean"], sd["asp_bn.norm.running_var"],
+            sd["asp_bn.norm.weight"], sd["asp_bn.norm.bias"], training=False,
+        )
+        ref = F.conv1d(stats[..., None], sd["fc.conv.weight"], sd["fc.conv.bias"])[0, :, 0]
+
+    arrays = map_ecapa_state_dict({k: v.numpy() for k, v in sd.items()})
+    np.savez(str(tmp_path / "e.npz"), **arrays)
+    params = tdnn.ecapa_load_npz(str(tmp_path / "e.npz"))
+    ours = tdnn.ecapa_apply(params, jnp.asarray(feats), jnp.ones((T,), jnp.float32))
+    np.testing.assert_allclose(np.asarray(ours), ref.numpy(), atol=2e-4, rtol=2e-4)
