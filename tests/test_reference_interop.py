@@ -274,3 +274,70 @@ def test_predict_cli_loads_reference_checkpoint(tmp_path, rng):
         with torch.no_grad():
             probs = torch.sigmoid(tm(torch.from_numpy(emb[None]), [len(emb)]))[0, :, 0].numpy()
         np.testing.assert_array_equal(np.asarray(tags, bool), probs > 0.5)
+
+
+class RefSimpleBiLSTM(nn.Module):
+    """models/CRF.py SimpleBiLSTM layout: bare `.lstm` + `.classifier`."""
+
+    def __init__(self, D, H, layers=1):
+        super().__init__()
+        self.lstm = nn.LSTM(D, H, layers, bidirectional=True, batch_first=True)
+        self.classifier = nn.Linear(2 * H, 1)
+
+
+def test_convert_simple_bilstm(tmp_path, rng):
+    torch.manual_seed(5)
+    D, H, B, L = 11, 7, 2, 22
+    tm = RefSimpleBiLSTM(D, H).eval()
+    ckpt = str(tmp_path / "ref.ckpt")
+    _lightning_ckpt(tm, ckpt)
+    assert infer_architecture(tm.state_dict()) == "SimpleBiLSTM"
+    params, cfg, arch = convert_checkpoint(ckpt, str(tmp_path / "fw.ckpt"))
+    assert arch == "SimpleBiLSTM" and cfg.hidden_dim == H
+
+    x = rng.standard_normal((B, L, D)).astype(np.float32)
+    lengths = np.array([L, L - 9])
+    from torch.nn.utils.rnn import pack_padded_sequence, pad_packed_sequence
+
+    with torch.no_grad():
+        packed = pack_padded_sequence(torch.from_numpy(x), lengths.tolist(),
+                                      batch_first=True, enforce_sorted=False)
+        out, _ = tm.lstm(packed)
+        out, _ = pad_packed_sequence(out, batch_first=True, total_length=L)
+        probs = torch.sigmoid(tm.classifier(out))[:, :, 0].numpy()
+
+    model = build(arch, cfg)
+    _s, tags = model.decode(params, jnp.asarray(x), jnp.asarray(lengths), 0.4)
+    tags = np.asarray(tags)
+    for b, n in enumerate(lengths):
+        np.testing.assert_array_equal(tags[b][:n], probs[b][:n] > 0.4)
+
+
+def test_convert_unidirectional_lstm(tmp_path, rng):
+    """The reference predict's 'LSTM' architecture = BiLSTM layout with
+    bidirectional=False (predict.py:220-221)."""
+    torch.manual_seed(6)
+    D, H, B, L = 10, 6, 2, 18
+
+    class RefLSTM(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.model = RefRNN(D, H, 1, bidirectional=False)
+            self.classification = nn.Linear(H, 1)
+
+    tm = RefLSTM().eval()
+    ckpt = str(tmp_path / "ref.ckpt")
+    _lightning_ckpt(tm, ckpt)
+    params, cfg, arch = convert_checkpoint(ckpt, str(tmp_path / "fw.ckpt"))
+    assert arch == "BiLSTM" and not cfg.bidirectional
+
+    x = rng.standard_normal((B, L, D)).astype(np.float32)
+    lengths = np.array([L, L - 5])
+    with torch.no_grad():
+        h = tm.model(torch.from_numpy(x), lengths.tolist())
+        probs = torch.sigmoid(tm.classification(h))[:, :, 0].numpy()
+    model = build(arch, cfg)
+    _s, tags = model.decode(params, jnp.asarray(x), jnp.asarray(lengths), 0.5)
+    tags = np.asarray(tags)
+    for b, n in enumerate(lengths):
+        np.testing.assert_array_equal(tags[b][:n], probs[b][:n] > 0.5)

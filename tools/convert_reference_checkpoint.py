@@ -52,6 +52,8 @@ def infer_architecture(sd: dict) -> str:
         return "biLSTMCRF"
     if any(k.startswith("model1.") for k in sd):
         return "BiLSTMLateFusion"
+    if any(k.startswith("lstm.") for k in sd):
+        return "SimpleBiLSTM"  # bare nn.LSTM + `.classifier` head
     return "BiLSTM"
 
 
@@ -108,7 +110,22 @@ def convert_state_dict(state_dict: dict, architecture: str = None):
     sd = _strip_prefix(state_dict)
     architecture = architecture or infer_architecture(sd)
 
-    if architecture in ("BiLSTM", "SimpleBiLSTM", "LSTM"):
+    if architecture == "SimpleBiLSTM":
+        # reference SimpleBiLSTM holds the nn.LSTM directly as `.lstm` and
+        # the head as `.classifier` (models/CRF.py:895-915)
+        layers, hidden, in_dim, bidir, is_lstm = _rnn_geometry(sd, "lstm")
+        cls = _linear(sd, "classifier")
+        cfg = TaggerConfig(
+            embedding_dim=in_dim, hidden_dim=hidden, num_layers=layers,
+            bidirectional=bidir, lstm=is_lstm, loss_fn="BinaryCrossEntropy",
+        )
+        params = {
+            "rnn": _convert_rnn_stack(sd, "lstm", layers, bidir, is_lstm),
+            "cls": cls,
+        }
+        return params, cfg, "SimpleBiLSTM"
+
+    if architecture in ("BiLSTM", "LSTM"):
         layers, hidden, in_dim, bidir, is_lstm = _rnn_geometry(sd, "model.rnn")
         cls = _linear(sd, "classification")
         out = cls["w"].shape[1]
