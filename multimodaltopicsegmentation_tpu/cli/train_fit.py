@@ -284,6 +284,57 @@ def main(args):
     all_results, all_scores = {}, {}
     confidence = {}
 
+    # --parallel_grid: train every dropout configuration in ONE lockstep
+    # vmapped program per fold (train/grid.py) instead of sequentially —
+    # eligible when the grid varies only dropout (the paper's grids do)
+    pregrid = {}
+    if (
+        getattr(args, "parallel_grid", False)
+        and not args.infer
+        and args.architecture == "BiLSTM"
+        and len(search_space["hidden_units"]) == 1
+        and len(search_space["number_layers"]) == 1
+        and len(hyperparameters) > 1
+    ):
+        from ..train.grid import GridTrainer
+        from ..utils import profiling
+
+        grid_rates = [(d_in, d_out) for _hu, _nl, d_in, d_out in hyperparameters]
+        hu0, nl0 = search_space["hidden_units"][0], search_space["number_layers"][0]
+        emb_dim0, emb_dim20 = (
+            embedding_dim if isinstance(embedding_dim, list) else (embedding_dim, 0)
+        )
+        for index, (train_loader, valid_loader, _test_loader, _fold) in enumerate(fold_loaders):
+            check_dir = "checkpoints" + (f"_{index}" if args.save_all_checkpoints else "")
+            os.makedirs(check_dir, exist_ok=True)
+            gcfg = TaggerConfig(
+                embedding_dim=emb_dim0,
+                embedding_dim2=emb_dim20,
+                hidden_dim=hu0,
+                num_layers=nl0,
+                tagset_size=2,
+                bidirectional=args.unidirectional,
+                lstm=args.NoLSTM,
+                loss_fn=args.loss_function,
+                cosine_loss=args.cosine_loss,
+            )
+            gt = GridTrainer(
+                args.architecture, gcfg, grid_rates,
+                lr=args.learning_rate, optimizer=args.optimizer,
+                max_epochs=args.max_epochs, patience=args.patience,
+                no_early_stop=args.no_early_stop, monitor=monitor,
+                check_dir=check_dir, seed=int(args.seed),
+                gradient_clipping=args.gradient_clipping,
+            )
+            with profiling.stage("fit_grid"):
+                gt.fit(train_loader, None if args.no_validation else valid_loader)
+            for gi, pt in enumerate(hyperparameters):
+                best_path = gt.best_model_paths[gi]
+                th, bvl = ckpt_lib.parse_checkpoint_name(best_path)
+                if args.no_validation or args.save_last_epoch:
+                    best_path = gt.save_final(gi)
+                pregrid[(pt, index)] = (best_path, th, bvl)
+
     for param_tuple in hyperparameters:
         hu, nl, d_in, d_out = param_tuple
         results = []
@@ -342,7 +393,19 @@ def main(args):
 
             from ..utils import profiling
 
-            if not args.infer:
+            if not args.infer and (param_tuple, index) in pregrid:
+                # this configuration already trained in the lockstep grid
+                trainer.best_model_path, th_pre, bvl_pre = pregrid[(param_tuple, index)]
+                threshold = args.threshold if args.threshold else th_pre
+                best_val_loss = args.threshold if args.threshold else bvl_pre
+                if args.search_threshold and valid_loader and not args.no_validation:
+                    ckpt_params, _, _, _ = ckpt_lib.load(trainer.best_model_path)
+                    threshold, sth_val = trainer.search_threshold(ckpt_params, valid_loader)
+                    with open("logs", "a") as f:
+                        f.write(
+                            f"Threshold search: best={threshold} ({args.metric}={sth_val:.4f})\n"
+                        )
+            elif not args.infer:
                 with profiling.stage("fit"), profiling.device_trace():
                     final_params, _ = trainer.fit(
                         train_loader, None if args.no_validation else valid_loader
@@ -571,6 +634,9 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--verbose", "-v", action="store_true")
     parser.add_argument("--write_results", "-wr", action="store_false")
     parser.add_argument("--hyperparameters_search", "-hs", action="store_true")
+    # TPU-native extension (no reference equivalent): train the whole
+    # dropout grid in one lockstep vmapped program per fold
+    parser.add_argument("--parallel_grid", "-pg", action="store_true")
     parser.add_argument("--hidden_units_search_space", "-huss", nargs="*", type=int)
     parser.add_argument("--number_layers_search_space", "-nlss", nargs="*", type=int)
     parser.add_argument("--dropout_in_search_space", "-diss", nargs="*", type=float)

@@ -90,8 +90,12 @@ def head_decode(cfg: TaggerConfig, logits: jnp.ndarray, threshold) -> jnp.ndarra
     return probs > threshold
 
 
-def dropout(x: jnp.ndarray, rate: float, rng, deterministic: bool) -> jnp.ndarray:
-    if deterministic or rate == 0.0 or rng is None:
+def dropout(x: jnp.ndarray, rate, rng, deterministic: bool) -> jnp.ndarray:
+    """`rate` may be a Python float or a TRACED scalar (the vmapped grid
+    trainer varies it across lockstep configurations)."""
+    if deterministic or rng is None:
+        return x
+    if not isinstance(rate, jnp.ndarray) and rate == 0.0:
         return x
     keep = 1.0 - rate
     m = jax.random.bernoulli(rng, keep, x.shape)

@@ -55,22 +55,26 @@ def rnn_stack_apply(
     lengths: jnp.ndarray,
     train: bool = False,
     rng=None,
+    rates=None,
 ) -> jnp.ndarray:
     """Apply the stack with dropout_in before and dropout_out after
     (reference applies F.dropout outside the packed LSTM,
-    NeuralArchitectures.py:92-119)."""
+    NeuralArchitectures.py:92-119). `rates` = (dropout_in, dropout_out)
+    overrides the config's static floats — possibly with traced scalars,
+    which is how the lockstep grid trainer varies dropout per config."""
     cell = "lstm" if cfg.lstm else "gru"
+    din, dout = rates if rates is not None else (cfg.dropout_in, cfg.dropout_out)
     if rng is not None:
         rng, k_in, k_out = jax.random.split(rng, 3)
     else:
         k_in = k_out = None
-    h = dropout(x, cfg.dropout_in, k_in, deterministic=not train)
+    h = dropout(x, din, k_in, deterministic=not train)
     for layer in layers:
         if cfg.bidirectional:
             h = bidirectional_rnn(layer["fwd"], layer["bwd"], h, lengths, cell)
         else:
             h = unidirectional_rnn(layer["fwd"], h, lengths, cell)
-    return dropout(h, cfg.dropout_out, k_out, deterministic=not train)
+    return dropout(h, dout, k_out, deterministic=not train)
 
 
 class BiLSTMTagger:
@@ -92,8 +96,11 @@ class BiLSTMTagger:
         h = rnn_stack_apply(params["rnn"], self.cfg, x, lengths, train, rng)
         return linear(params["cls"], h)
 
-    def loss(self, params, x, lengths, tags, rng=None) -> jnp.ndarray:
-        h = rnn_stack_apply(params["rnn"], self.cfg, x, lengths, train=True, rng=rng)
+    def loss(self, params, x, lengths, tags, rng=None, dropout_rates=None) -> jnp.ndarray:
+        h = rnn_stack_apply(
+            params["rnn"], self.cfg, x, lengths, train=True, rng=rng,
+            rates=dropout_rates,
+        )
         logits = linear(params["cls"], h)
         loss = head_loss(self.cfg, logits, lengths, tags)
         if self.cfg.cosine_loss:

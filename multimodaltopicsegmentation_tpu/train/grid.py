@@ -1,0 +1,260 @@
+"""Lockstep hyperparameter-grid training: every dropout configuration in one
+vmapped program.
+
+The reference's grid search trains its 9 configurations sequentially
+(/root/reference/train_fit.py:169-296); on the paper's grids only the
+dropout-in/out rates vary (hidden units and layer counts are singletons —
+e.g. RadioNews-SBBC/run_radionews_unimodal.sh: `-huss 256 -nlss 2
+-diss 0 0.2 0.5 -doss 0 0.2 0.5`), so every configuration shares parameter
+shapes and the whole grid can train as ONE jitted step vmapped over a
+config axis. The MXU sees G-fold-larger matmuls instead of G sequential
+underutilized programs.
+
+Per-config numerics match a serial `Trainer` run with the same seed
+EXACTLY: the PRNG stream is shared (the serial trainer reseeds identically
+per configuration), dropout varies through traced rates, learning-rate
+plateau scheduling and early stopping are tracked per config on host (a
+stopped config keeps computing in lockstep but its best checkpoint is
+frozen, which is what stopping at that epoch produces serially).
+"""
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..models import registry
+from ..models.base import TaggerConfig
+from . import checkpoints as ckpt_lib
+from .loop import PlateauScheduler, make_optimizer
+
+
+def _set_lr_vector(opt_state, lrs: np.ndarray):
+    """Write the per-config learning-rate vector into the vmapped
+    inject_hyperparams state (same traversal as loop._set_lr)."""
+
+    def visit(state):
+        if hasattr(state, "hyperparams") and "learning_rate" in state.hyperparams:
+            state.hyperparams["learning_rate"] = jnp.asarray(lrs, jnp.float32)
+            return True
+        if isinstance(state, tuple):
+            return any(visit(s) for s in state)
+        return False
+
+    visit(opt_state)
+    return opt_state
+
+
+class GridTrainer:
+    """Train G (dropout_in, dropout_out) configurations of one architecture
+    in lockstep. Produces, per configuration, the same artifacts a serial
+    `Trainer` would: a history and a best-checkpoint path (in a
+    config-unique subdirectory of `check_dir`)."""
+
+    SUPPORTED = ("BiLSTM",)
+
+    def __init__(
+        self,
+        architecture: str,
+        cfg: TaggerConfig,
+        grid: List[Tuple[float, float]],
+        lr: float = 1e-3,
+        optimizer: str = "Adam",
+        max_epochs: int = 100,
+        patience: int = 20,
+        no_early_stop: bool = False,
+        monitor: str = "val_loss",
+        check_dir: str = "checkpoints",
+        seed: int = 42,
+        gradient_clipping: float = 0.0,
+        detect_anomaly: Optional[bool] = None,
+    ):
+        if architecture not in self.SUPPORTED:
+            raise ValueError(
+                f"lockstep grid training supports {self.SUPPORTED}, not {architecture!r}"
+            )
+        self.arch_name = architecture
+        self.arch = registry.build(architecture, cfg)
+        self.cfg = cfg
+        self.grid = [(float(d), float(o)) for d, o in grid]
+        self.lr = lr
+        self.optimizer_name = optimizer
+        self.max_epochs = max_epochs
+        self.patience = patience
+        self.no_early_stop = no_early_stop
+        self.monitor = monitor
+        self.check_dir = check_dir
+        self.seed = seed
+        self.clip = gradient_clipping
+        if detect_anomaly is None:
+            detect_anomaly = os.environ.get("MTS_DETECT_ANOMALY", "1") != "0"
+        self.detect_anomaly = detect_anomaly
+        self.best_model_paths: List[Optional[str]] = [None] * len(self.grid)
+        self.histories: List[list] = [[] for _ in self.grid]
+        # per-config parameter snapshot taken when that config early-stops
+        # (serial training would have ENDED there, so '-s_last' final params
+        # must come from the stop epoch, not from the lockstep end)
+        self._stop_params: List[Optional[dict]] = [None] * len(self.grid)
+
+    def _config_dir(self, g: int) -> str:
+        din, dout = self.grid[g]
+        return os.path.join(self.check_dir, f"grid_di{din:g}_do{dout:g}")
+
+    def _cfg_for(self, g: int) -> TaggerConfig:
+        din, dout = self.grid[g]
+        return dataclasses.replace(self.cfg, dropout_in=din, dropout_out=dout)
+
+    def fit(self, train_batches: List[dict], valid_batches: Optional[List[dict]] = None):
+        G = len(self.grid)
+        arch = self.arch
+        rng = jax.random.PRNGKey(self.seed)
+        rng, k_init = jax.random.split(rng)
+        params0 = arch.init(k_init)  # identical init per config, like serial
+        params = jax.tree.map(lambda a: jnp.stack([a] * G), params0)
+        tx = make_optimizer(self.optimizer_name, self.lr, self.clip)
+        opt_state = jax.vmap(tx.init)(params)
+        rates = jnp.asarray(self.grid, jnp.float32)  # [G, 2]
+
+        def one_step(p, s, rate, x, lengths, tags, k):
+            def loss_fn(q):
+                return arch.loss(
+                    q, x, lengths, tags, rng=k, dropout_rates=(rate[0], rate[1])
+                )
+
+            loss, grads = jax.value_and_grad(loss_fn)(p)
+            updates, s = tx.update(grads, s, p)
+            return optax.apply_updates(p, updates), s, loss
+
+        step = jax.jit(
+            jax.vmap(one_step, in_axes=(0, 0, 0, None, None, None, None)),
+            donate_argnums=(0, 1),
+        )
+        # validation is deterministic (no dropout) so rates do not enter
+        eval_loss = jax.jit(
+            jax.vmap(
+                lambda p, x, l, t: arch.loss(p, x, l, t, rng=None),
+                in_axes=(0, None, None, None),
+            )
+        )
+
+        scheds = [PlateauScheduler(self.lr) for _ in range(G)]
+        lr_vec = np.full((G,), self.lr, np.float32)
+        best = np.full((G,), np.inf)
+        bad = np.zeros((G,), int)
+        stopped = np.zeros((G,), bool)
+        for g in range(G):
+            os.makedirs(self._config_dir(g), exist_ok=True)
+
+        for epoch in range(self.max_epochs):
+            epoch_losses = []
+            for bi, batch in enumerate(train_batches):
+                rng, k = jax.random.split(rng)
+                params, opt_state, loss = step(
+                    params,
+                    opt_state,
+                    rates,
+                    jnp.asarray(batch["src_tokens"]),
+                    jnp.asarray(batch["src_lengths"]),
+                    jnp.asarray(batch["tgt_tokens"]),
+                    k,
+                )
+                epoch_losses.append(loss)
+            batch_losses = np.stack([np.asarray(l) for l in epoch_losses])  # [n_b, G]
+            if self.detect_anomaly and not np.all(np.isfinite(batch_losses)):
+                b, g = map(int, np.argwhere(~np.isfinite(batch_losses))[0])
+                raise FloatingPointError(
+                    f"detect_anomaly: non-finite training loss at epoch {epoch}, "
+                    f"batch {b}, grid config {self.grid[g]} (set "
+                    f"MTS_DETECT_ANOMALY=0 to train through it)"
+                )
+            train_loss = batch_losses.mean(axis=0)  # [G]
+
+            if valid_batches:
+                vals, weights = [], []
+                for batch in valid_batches:
+                    l = eval_loss(
+                        params,
+                        jnp.asarray(batch["src_tokens"]),
+                        jnp.asarray(batch["src_lengths"]),
+                        jnp.asarray(batch["tgt_tokens"]),
+                    )
+                    vals.append(np.asarray(l))
+                    weights.append(batch.get("n_real", len(batch["src_lengths"])))
+                val_loss = np.average(np.stack(vals), axis=0, weights=weights)  # [G]
+            else:
+                val_loss = None
+
+            monitored = (
+                train_loss
+                if (self.monitor == "training_loss" or val_loss is None)
+                else val_loss
+            )
+            for g in range(G):
+                self.histories[g].append(
+                    {
+                        "epoch": epoch,
+                        "training_loss": float(train_loss[g]),
+                        "val_loss": None if val_loss is None else float(val_loss[g]),
+                    }
+                )
+
+            for g in range(G):
+                if stopped[g]:
+                    continue
+                m = float(monitored[g])
+                if not np.isfinite(m):
+                    m = float("inf")
+                if m < best[g] or self.best_model_paths[g] is None:
+                    best[g] = m
+                    bad[g] = 0
+                    if self.best_model_paths[g] and os.path.exists(self.best_model_paths[g]):
+                        os.remove(self.best_model_paths[g])
+                    fname_val = m if np.isfinite(m) else 9999.9999
+                    path = os.path.join(
+                        self._config_dir(g), ckpt_lib.checkpoint_name(epoch, fname_val, 0.5)
+                    )
+                    ckpt_lib.save(
+                        path,
+                        jax.tree.map(lambda a, g=g: np.asarray(a[g]), params),
+                        self._cfg_for(g),
+                        self.arch_name,
+                        extra={"epoch": epoch, "monitored": m, "grid": self.grid[g]},
+                    )
+                    self.best_model_paths[g] = path
+                else:
+                    bad[g] += 1
+                    if not self.no_early_stop and bad[g] >= self.patience:
+                        stopped[g] = True
+                        self._stop_params[g] = jax.tree.map(
+                            lambda a, g=g: np.asarray(a[g]), params
+                        )
+                lr_vec[g] = scheds[g].step(float(monitored[g]))
+            opt_state = _set_lr_vector(opt_state, lr_vec)
+
+            if stopped.all() and not self.no_early_stop:
+                break
+
+        self.params = params
+        return params, self.histories
+
+    def final_params(self, g: int):
+        """Configuration g's final parameters: the snapshot from its own
+        early-stop epoch if it stopped, else the lockstep end state."""
+        if self._stop_params[g] is not None:
+            return self._stop_params[g]
+        return jax.tree.map(lambda a: np.asarray(a[g]), self.params)
+
+    def save_final(self, g: int) -> str:
+        """-s_last / no_validation artifact for configuration g."""
+        path = os.path.join(self._config_dir(g), "final=0.500.ckpt")
+        ckpt_lib.save(
+            path, self.final_params(g), self._cfg_for(g), self.arch_name,
+            extra={"final": True, "grid": self.grid[g]},
+        )
+        self.best_model_paths[g] = path
+        return path

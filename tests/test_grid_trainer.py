@@ -1,0 +1,150 @@
+"""Lockstep grid trainer: per-config numerics must match serial Trainers."""
+import numpy as np
+import pytest
+
+import jax
+
+from multimodaltopicsegmentation_tpu.models.base import TaggerConfig
+from multimodaltopicsegmentation_tpu.train import checkpoints as ckpt_lib
+from multimodaltopicsegmentation_tpu.train.grid import GridTrainer
+from multimodaltopicsegmentation_tpu.train.loop import Trainer
+
+GRID = [(0.0, 0.0), (0.2, 0.5), (0.5, 0.2)]
+
+
+def _batches(rng, n=2, B=4, L=20, dim=12):
+    out = []
+    for _ in range(n):
+        out.append({
+            "src_tokens": rng.standard_normal((B, L, dim)).astype(np.float32),
+            "tgt_tokens": (rng.random((B, L)) < 0.2).astype(np.float32),
+            "src_lengths": np.full((B,), L, np.int32),
+            "n_real": B,
+        })
+    return out
+
+
+@pytest.fixture(scope="module")
+def data():
+    rng = np.random.default_rng(0)
+    return _batches(rng), _batches(rng, n=1)
+
+
+def _serial(tmp_path, din, dout, train, valid, **kw):
+    cfg = TaggerConfig(embedding_dim=12, hidden_dim=8, num_layers=1,
+                       loss_fn="FocalLoss", dropout_in=din, dropout_out=dout)
+    kwargs = dict(lr=1e-2, max_epochs=4, patience=2, monitor="val_loss",
+                  check_dir=str(tmp_path / f"s{din}{dout}"), seed=42)
+    kwargs.update(kw)
+    t = Trainer("BiLSTM", cfg, **kwargs)
+    t.fit([dict(b) for b in train], [dict(b) for b in valid])
+    return t
+
+
+def test_grid_matches_serial_histories(tmp_path, data):
+    train, valid = data
+    cfg = TaggerConfig(embedding_dim=12, hidden_dim=8, num_layers=1, loss_fn="FocalLoss")
+    gt = GridTrainer("BiLSTM", cfg, GRID, lr=1e-2, max_epochs=4, patience=2,
+                     monitor="val_loss", check_dir=str(tmp_path / "grid"), seed=42)
+    gt.fit([dict(b) for b in train], [dict(b) for b in valid])
+
+    for g, (din, dout) in enumerate(GRID):
+        st = _serial(tmp_path, din, dout, train, valid)
+        for hg, hs in zip(gt.histories[g], st.history):
+            assert hg["training_loss"] == pytest.approx(hs["training_loss"], rel=1e-5), (g, hg, hs)
+            assert hg["val_loss"] == pytest.approx(hs["val_loss"], rel=1e-5)
+        # best checkpoints decode identically
+        pg, cfg_g, arch_g, _ = ckpt_lib.load(gt.best_model_paths[g])
+        ps, cfg_s, arch_s, _ = ckpt_lib.load(st.best_model_path)
+        assert cfg_g.dropout_in == din and cfg_g.dropout_out == dout
+        for a, b in zip(jax.tree.leaves(pg), jax.tree.leaves(ps)):
+            np.testing.assert_allclose(a, b, atol=1e-6)
+
+
+def test_grid_early_stop_freezes_config(tmp_path, data):
+    """A config that stops early must keep the checkpoint it had at stop
+    time even though lockstep training continues."""
+    train, valid = data
+    cfg = TaggerConfig(embedding_dim=12, hidden_dim=8, num_layers=1, loss_fn="FocalLoss")
+    gt = GridTrainer("BiLSTM", cfg, GRID, lr=1e-2, max_epochs=12, patience=1,
+                     monitor="val_loss", check_dir=str(tmp_path / "grid"), seed=42)
+    gt.fit([dict(b) for b in train], [dict(b) for b in valid])
+    for g, (din, dout) in enumerate(GRID):
+        st = _serial(tmp_path, din, dout, train, valid, patience=1, max_epochs=12)
+        pg, *_ = ckpt_lib.load(gt.best_model_paths[g])
+        ps, *_ = ckpt_lib.load(st.best_model_path)
+        for a, b in zip(jax.tree.leaves(pg), jax.tree.leaves(ps)):
+            np.testing.assert_allclose(a, b, atol=1e-6)
+
+
+def test_grid_save_final_matches_serial(tmp_path, data):
+    train, _ = data
+    cfg = TaggerConfig(embedding_dim=12, hidden_dim=8, num_layers=1, loss_fn="FocalLoss")
+    gt = GridTrainer("BiLSTM", cfg, GRID[:2], lr=1e-2, max_epochs=3,
+                     monitor="training_loss", no_early_stop=True,
+                     check_dir=str(tmp_path / "grid"), seed=42)
+    gt.fit([dict(b) for b in train], None)
+    for g, (din, dout) in enumerate(GRID[:2]):
+        path = gt.save_final(g)
+        assert path.endswith("final=0.500.ckpt")
+        cfgd = TaggerConfig(embedding_dim=12, hidden_dim=8, num_layers=1,
+                            loss_fn="FocalLoss", dropout_in=din, dropout_out=dout)
+        st = Trainer("BiLSTM", cfgd, lr=1e-2, max_epochs=3, monitor="training_loss",
+                     no_early_stop=True, check_dir=str(tmp_path / f"sf{g}"), seed=42)
+        final_params, _ = st.fit([dict(b) for b in train], None)
+        pg, *_ = ckpt_lib.load(path)
+        for a, b in zip(jax.tree.leaves(pg), jax.tree.leaves(final_params)):
+            np.testing.assert_allclose(a, np.asarray(b), atol=1e-6)
+
+
+def test_grid_rejects_unsupported_architecture():
+    cfg = TaggerConfig(embedding_dim=8, hidden_dim=4, num_layers=1)
+    with pytest.raises(ValueError):
+        GridTrainer("biLSTMCRF", cfg, GRID)
+
+
+@pytest.mark.slow
+def test_parallel_grid_cli_matches_serial(tmp_path):
+    """train_fit -pg must produce the same scores/results as the serial
+    grid (per-config numerics are exact, so the artifacts agree)."""
+    import json
+    import os
+
+    from tests.synth import make_synthetic_corpus
+    import multimodaltopicsegmentation_tpu.cli.train_fit as tf
+
+    emb_dir, lab_file, split = make_synthetic_corpus(str(tmp_path / "c"), n_docs=10, dim=24)
+    tf.EMBEDDING_SIZES["CNN"] = 24
+    cwd = os.getcwd()
+
+    def run(exp, extra):
+        args = tf.build_parser().parse_args([
+            "-exp", exp, "-arc", "BiLSTM", "-enc", "CNN",
+            "-ef", emb_dir, "-lf", lab_file, "-lr", "1e-2",
+            "-bs", "4", "-max", "4", "-vp", "0.2", "-pat", "3",
+            "-loss", "FocalLoss", "-ar", "-as", "-split", split,
+            "-hs", "-huss", "16", "-nlss", "1",
+            "-diss", "0.0", "0.3", "-doss", "0.0", "0.3",
+        ] + extra)
+        try:
+            tf.main(args)
+        finally:
+            os.chdir(cwd)
+
+    run(str(tmp_path / "serial"), [])
+    run(str(tmp_path / "lockstep"), ["-pg"])
+
+    with open(tmp_path / "serial" / "all_scores.json") as f:
+        s_scores = json.load(f)
+    with open(tmp_path / "lockstep" / "all_scores.json") as f:
+        p_scores = json.load(f)
+    assert s_scores.keys() == p_scores.keys()
+    for k in s_scores:
+        np.testing.assert_allclose(s_scores[k], p_scores[k], rtol=1e-5)
+
+    s_res = open(tmp_path / "serial" / "results.txt").read()
+    p_res = open(tmp_path / "lockstep" / "results.txt").read()
+    for line in ("Mean Pk obtained is", "Best hyperparameters"):
+        sl = [l for l in s_res.splitlines() if l.startswith(line)]
+        pl = [l for l in p_res.splitlines() if l.startswith(line)]
+        assert sl == pl, (sl, pl)
