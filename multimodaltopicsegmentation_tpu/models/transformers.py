@@ -111,12 +111,19 @@ def bert_layer_params(rng, d_model, d_ff):
     }
 
 
-def bert_layer_apply(p, x, nheads, mask, window=None, train=False, rng=None, drop=0.0):
+def bert_layer_apply(p, x, nheads, mask, window=None, train=False, rng=None,
+                     drop=0.0, attend_fn=None):
+    """`attend_fn(p_attn, x, mask, window)` overrides the attention op —
+    the sequence-parallel path substitutes a halo-exchange variant; every
+    other sublayer is per-position and shards trivially."""
     if rng is not None:
         rng, k1, k2 = jax.random.split(rng, 3)
     else:
         k1 = k2 = None
-    a = _attend(p["attn"], x, nheads, mask, window)
+    if attend_fn is not None:
+        a = attend_fn(p["attn"], x, mask, window)
+    else:
+        a = _attend(p["attn"], x, nheads, mask, window)
     x = layer_norm(p["ln1"], x + dropout(a, drop, k1, not train))
     h = jax.nn.gelu(linear(p["ff1"], x))
     h = linear(p["ff2"], h)
@@ -155,10 +162,20 @@ class _BertStyleEncoder:
             ],
         }
 
-    def apply(self, p, x, lengths, train=False, rng=None):
+    def apply(self, p, x, lengths, train=False, rng=None, attend_fn=None,
+              pos_offset=None, mask=None):
+        """`pos_offset`/`mask`/`attend_fn` support the sequence-parallel
+        path, where x holds only this shard's units: the positional table is
+        sliced at the shard's GLOBAL offset (possibly traced) and the mask
+        comes precomputed from global positions."""
         B, L, _ = x.shape
-        mask = length_mask(lengths, L, x.dtype)
-        x = x + p["pos"][None, :L]
+        if mask is None:
+            mask = length_mask(lengths, L, x.dtype)
+        if pos_offset is None:
+            pos = p["pos"][:L]
+        else:
+            pos = jax.lax.dynamic_slice_in_dim(p["pos"], pos_offset, L)
+        x = x + pos[None]
         x = layer_norm(p["ln_emb"], x)
         for i, lp in enumerate(p["layers"]):
             w = None if self.windows is None else self.windows[i]
@@ -170,7 +187,7 @@ class _BertStyleEncoder:
             def one_layer(lp, x, mask, k, _w=w):
                 return bert_layer_apply(
                     lp, x, self.nheads, mask, window=_w, train=train, rng=k,
-                    drop=self.drop,
+                    drop=self.drop, attend_fn=attend_fn,
                 )
 
             if self.remat and train:

@@ -90,3 +90,66 @@ def sequence_sharded_local_attention(
         out_specs=spec,
     )
     return fn(q, k, v, mask)
+
+
+def sequence_sharded_transformer_decode(
+    mesh: Mesh,
+    segmenter,
+    params,
+    x: jnp.ndarray,
+    lengths: jnp.ndarray,
+    threshold: float,
+    axis: str = "data",
+):
+    """Decode ONE batch of long documents with the UNIT axis sharded over
+    the mesh: each chip holds L/n units and runs the full transformer stack
+    on its slice; the only cross-chip communication is the per-layer
+    one-window halo exchange inside local attention (positional embeddings
+    are sliced at each shard's global offset). Numerics match the
+    single-device `TransformerSegmenter.decode` exactly.
+
+    x: [B, L, D] with L divisible by mesh.shape[axis]; the pyramidal
+    per-layer window must not exceed the shard length (halo = window/2).
+    """
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
+
+    from ..models.base import head_decode
+    from ..models.transformers import linear, merge_heads, split_heads
+
+    enc = segmenter.encoder
+    n = mesh.shape[axis]
+    B, L, D = x.shape
+    assert L % n == 0, (L, n)
+    max_window = max(enc.windows) if enc.windows else None
+    assert max_window is not None, "sequence sharding needs LOCAL attention"
+    assert max_window // 2 <= L // n, (
+        f"widest window {max_window} exceeds shard length {L // n}"
+    )
+
+    def attend(ap, h, m, window):
+        q = split_heads(linear(ap["q"], h), enc.nheads)
+        k = split_heads(linear(ap["k"], h), enc.nheads)
+        v = split_heads(linear(ap["v"], h), enc.nheads)
+        out = _shard_body(q, k, v, m, window=window, axis_name=axis)
+        return linear(ap["o"], merge_heads(out))
+
+    def run(p, x_sh, lens):
+        Ls = x_sh.shape[1]
+        start = lax.axis_index(axis) * Ls
+        gpos = start + jnp.arange(Ls)
+        mask = (gpos[None, :] < lens[:, None]).astype(x_sh.dtype)
+        h = enc.apply(p["encoder"], x_sh, lens, attend_fn=attend,
+                      pos_offset=start, mask=mask)
+        return linear(p["cls"], h)
+
+    fn = shard_map(
+        run,
+        mesh=mesh,
+        in_specs=(P(), P(None, axis, None), P()),
+        out_specs=P(None, axis, None),
+    )
+    logits = fn(params, x, lengths)
+    return logits, head_decode(segmenter.cfg, logits, threshold)

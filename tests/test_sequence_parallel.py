@@ -50,3 +50,65 @@ def test_seq_sharded_long_doc():
     with mesh:
         out = sequence_sharded_local_attention(mesh, q, k, v, window, mask)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_sequence_sharded_transformer_decode_parity():
+    """Full TransformerSegmenter decode with the unit axis sharded over the
+    8-device mesh = single-device decode, bit-for-bit boundaries."""
+    import jax.numpy as jnp
+
+    from multimodaltopicsegmentation_tpu.models.base import TaggerConfig
+    from multimodaltopicsegmentation_tpu.models.registry import build
+    from multimodaltopicsegmentation_tpu.parallel.mesh import make_mesh
+    from multimodaltopicsegmentation_tpu.parallel.sequence import (
+        sequence_sharded_transformer_decode,
+    )
+
+    rng = np.random.default_rng(3)
+    cfg = TaggerConfig(embedding_dim=32, hidden_dim=64, num_layers=2,
+                       nheads=2, attention_window=8, loss_fn="FocalLoss")
+    seg = build("Transformer", cfg)
+    params = seg.init(jax.random.PRNGKey(0))
+
+    mesh = make_mesh(8, model_parallel=1)
+    B, L = 2, 256  # 32 units per shard; widest pyramidal window = 16
+    x = jnp.asarray(rng.standard_normal((B, L, 32)), jnp.float32)
+    lengths = jnp.asarray([256, 200])
+
+    ref_scores, ref_tags = seg.decode(params, x, lengths, 0.5)
+    with mesh:
+        scores, tags = sequence_sharded_transformer_decode(
+            mesh, seg, params, x, lengths, 0.5
+        )
+    # compare the VALID region only: positions beyond a document's length
+    # are garbage in both paths (fully-masked attention rows) and nothing
+    # downstream ever reads them (decode slices to lengths)
+    for b, n in enumerate([256, 200]):
+        np.testing.assert_allclose(
+            np.asarray(scores)[b][:n], np.asarray(ref_scores)[b][:n],
+            atol=2e-5, rtol=1e-5,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(tags)[b][:n], np.asarray(ref_tags)[b][:n]
+        )
+
+
+def test_sequence_sharded_transformer_window_guard():
+    import jax.numpy as jnp
+
+    from multimodaltopicsegmentation_tpu.models.base import TaggerConfig
+    from multimodaltopicsegmentation_tpu.models.registry import build
+    from multimodaltopicsegmentation_tpu.parallel.mesh import make_mesh
+    from multimodaltopicsegmentation_tpu.parallel.sequence import (
+        sequence_sharded_transformer_decode,
+    )
+
+    cfg = TaggerConfig(embedding_dim=16, hidden_dim=32, num_layers=2,
+                       nheads=2, attention_window=64, loss_fn="FocalLoss")
+    seg = build("Transformer", cfg)
+    params = seg.init(jax.random.PRNGKey(0))
+    mesh = make_mesh(8, model_parallel=1)
+    x = jnp.zeros((1, 64, 16))  # 8 units/shard < halo of the 128-wide layer
+    with pytest.raises(AssertionError, match="widest window"):
+        sequence_sharded_transformer_decode(mesh, seg, params, x,
+                                            jnp.asarray([64]), 0.5)
