@@ -142,11 +142,29 @@ class GridTrainer:
             )
         )
 
+        # upload batches once — they are constant across epochs and
+        # re-shipping them through the remote device link every step costs
+        # far more than the step itself (see Trainer._to_device)
+        def to_device(batches):
+            out = []
+            for b in batches:
+                db = dict(b)
+                for key in ("src_tokens", "tgt_tokens", "src_lengths"):
+                    db[key] = jnp.asarray(np.asarray(b[key]))
+                out.append(db)
+            return out
+
+        train_batches = to_device(train_batches)
+        if valid_batches:
+            valid_batches = to_device(valid_batches)
+
         scheds = [PlateauScheduler(self.lr) for _ in range(G)]
         lr_vec = np.full((G,), self.lr, np.float32)
         best = np.full((G,), np.inf)
         bad = np.zeros((G,), int)
         stopped = np.zeros((G,), bool)
+        best_snapshots = [None] * G
+        best_extras = [{}] * G
         for g in range(G):
             os.makedirs(self._config_dir(g), exist_ok=True)
 
@@ -212,26 +230,22 @@ class GridTrainer:
                 if m < best[g] or self.best_model_paths[g] is None:
                     best[g] = m
                     bad[g] = 0
-                    if self.best_model_paths[g] and os.path.exists(self.best_model_paths[g]):
-                        os.remove(self.best_model_paths[g])
+                    # device-side snapshot; the disk write happens once at
+                    # fit end (see Trainer.fit for the measured rationale)
+                    best_snapshots[g] = jax.tree.map(
+                        lambda a, g=g: a[g].copy(), params
+                    )
                     fname_val = m if np.isfinite(m) else 9999.9999
-                    path = os.path.join(
+                    self.best_model_paths[g] = os.path.join(
                         self._config_dir(g), ckpt_lib.checkpoint_name(epoch, fname_val, 0.5)
                     )
-                    ckpt_lib.save(
-                        path,
-                        jax.tree.map(lambda a, g=g: np.asarray(a[g]), params),
-                        self._cfg_for(g),
-                        self.arch_name,
-                        extra={"epoch": epoch, "monitored": m, "grid": self.grid[g]},
-                    )
-                    self.best_model_paths[g] = path
+                    best_extras[g] = {"epoch": epoch, "monitored": m, "grid": self.grid[g]}
                 else:
                     bad[g] += 1
                     if not self.no_early_stop and bad[g] >= self.patience:
                         stopped[g] = True
                         self._stop_params[g] = jax.tree.map(
-                            lambda a, g=g: np.asarray(a[g]), params
+                            lambda a, g=g: a[g].copy(), params
                         )
                 lr_vec[g] = scheds[g].step(float(monitored[g]))
             opt_state = _set_lr_vector(opt_state, lr_vec)
@@ -239,6 +253,14 @@ class GridTrainer:
             if stopped.all() and not self.no_early_stop:
                 break
 
+        for g in range(G):
+            ckpt_lib.save(
+                self.best_model_paths[g],
+                jax.tree.map(np.asarray, best_snapshots[g]),
+                self._cfg_for(g),
+                self.arch_name,
+                extra=best_extras[g],
+            )
         self.params = params
         return params, self.histories
 

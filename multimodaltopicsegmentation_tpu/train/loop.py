@@ -203,6 +203,35 @@ class Trainer:
             extra["x2"] = jnp.asarray(batch["src_tokens2"])
         return extra
 
+    _DEVICE_KEYS = ("src_tokens", "tgt_tokens", "src_lengths", "domain", "src_tokens2")
+
+    def _to_device(self, batches: List[dict], shard: bool = True) -> List[dict]:
+        """Upload each batch's arrays ONCE before the epoch loop.
+
+        Batches are constant across epochs; re-running jnp.asarray on host
+        arrays every step re-ships them through the (remote) device link —
+        measured ~265 ms per 16 MB batch on the axon tunnel vs a ~9 ms
+        train step. With a mesh, arrays are placed with their training
+        shardings so the jitted step never reshards them.
+        """
+        shardings = None
+        if self.mesh is not None and shard:
+            from ..parallel.mesh import batch_shardings
+
+            shardings = batch_shardings(self.mesh)
+            shardings["src_tokens2"] = shardings["src_tokens"]
+        out = []
+        for batch in batches:
+            db = dict(batch)
+            for key in self._DEVICE_KEYS:
+                if key in batch and hasattr(batch[key], "shape"):
+                    if shardings is not None:
+                        db[key] = jax.device_put(np.asarray(batch[key]), shardings[key])
+                    else:
+                        db[key] = jnp.asarray(np.asarray(batch[key]))
+            out.append(db)
+        return out
+
     def _pad_batch_axis(self, batch: dict) -> dict:
         """Pad the document axis to a multiple of the mesh 'data' axis.
 
@@ -237,10 +266,17 @@ class Trainer:
             params = self._place_params(params)
             train_batches = [self._pad_batch_axis(b) for b in train_batches]
         opt_state = self.tx.init(params)
+        train_batches = self._to_device(train_batches)
+        if valid_batches:
+            # eval runs through the unsharded jit; batches are not padded to
+            # the data-axis multiple, so keep them unsharded
+            valid_batches = self._to_device(valid_batches, shard=False)
 
         sched = PlateauScheduler(self.lr)
         best = float("inf")
         bad_epochs = 0
+        best_snapshot = None
+        best_extra = {}
         os.makedirs(self.check_dir, exist_ok=True)
 
         history = []
@@ -293,20 +329,21 @@ class Trainer:
             history.append({"epoch": epoch, "training_loss": train_loss, "val_loss": val_loss})
 
             # top-1 checkpoint on improvement (NaN counts as no improvement,
-            # but the first epoch always checkpoints so a best path exists)
+            # but the first epoch always checkpoints so a best path exists).
+            # The snapshot stays ON DEVICE (a per-leaf copy costs ~nothing);
+            # pulling params through the remote link every improving epoch
+            # measured ~0.7-1 s — the single disk write happens at fit end.
             if not np.isfinite(monitored):
                 monitored = float("inf")
-            if monitored < best or self.best_model_path is None:
+            if monitored < best or best_snapshot is None:
                 best = monitored
                 bad_epochs = 0
-                if self.best_model_path and os.path.exists(self.best_model_path):
-                    os.remove(self.best_model_path)
+                best_snapshot = jax.tree.map(lambda a: a.copy(), params)
                 fname_val = monitored if np.isfinite(monitored) else 9999.9999
                 self.best_model_path = os.path.join(
                     self.check_dir, ckpt_lib.checkpoint_name(epoch, fname_val, 0.5)
                 )
-                ckpt_lib.save(self.best_model_path, params, self.cfg, self.arch_name,
-                              extra={"epoch": epoch, "monitored": monitored})
+                best_extra = {"epoch": epoch, "monitored": monitored}
             else:
                 bad_epochs += 1
                 if not self.no_early_stop and bad_epochs >= self.patience:
@@ -314,6 +351,9 @@ class Trainer:
 
             opt_state = _set_lr(opt_state, sched.step(monitored))
 
+        if best_snapshot is not None:
+            ckpt_lib.save(self.best_model_path, best_snapshot, self.cfg,
+                          self.arch_name, extra=best_extra)
         self.params = params
         self.history = history
         return params, history
