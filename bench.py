@@ -220,6 +220,18 @@ def bench_train_fallback():
     return B * L / dt
 
 
+def _retry(fn, attempts=2, wait=20):
+    """The remote TPU backend occasionally drops a connection mid-run
+    (transient INTERNAL errors); one clean retry recovers it."""
+    for i in range(attempts):
+        try:
+            return fn()
+        except Exception:  # noqa: BLE001
+            if i == attempts - 1:
+                raise
+            time.sleep(wait)
+
+
 def main():
     import sys
 
@@ -227,7 +239,7 @@ def main():
         # headline: the neural-encoder (wav2vec2) predict path — the
         # flagship BASELINE.md configuration and the reference's dominant
         # inference cost
-        value = bench_predict_wav2vec_tpu()
+        value = _retry(bench_predict_wav2vec_tpu)
         baseline = bench_predict_wav2vec_cpu_baseline()
         try:
             mfcc_v = bench_predict_tpu()
