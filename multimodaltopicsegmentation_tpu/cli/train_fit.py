@@ -325,6 +325,7 @@ def main(args):
                 no_early_stop=args.no_early_stop, monitor=monitor,
                 check_dir=check_dir, seed=int(args.seed),
                 gradient_clipping=args.gradient_clipping,
+                tag=f"f{index}",  # folds may share check_dir; keep ckpts apart
             )
             with profiling.stage("fit_grid"):
                 gt.fit(train_loader, None if args.no_validation else valid_loader)

@@ -125,16 +125,22 @@ def apply_threshold(
 ) -> np.ndarray:
     """Double-threshold hysteresis: a span turns ON when the posterior
     reaches activation_th and stays on until it drops below deactivation_th
-    (speechbrain VAD.apply_threshold semantics)."""
-    active = np.zeros(len(post), bool)
-    on = False
-    for i, p in enumerate(post):
-        if not on and p >= activation_th:
-            on = True
-        elif on and p < deactivation_th:
-            on = False
-        active[i] = on
-    return active
+    (speechbrain VAD.apply_threshold semantics).
+
+    Vectorized as an event carry: the state at frame i is whatever the most
+    recent on/off crossing said (on >= activation, off < deactivation; the
+    two cannot fire together since deactivation_th <= activation_th). The
+    10 ms grid makes a Python loop here ~360k iterations per audio hour.
+    """
+    post = np.asarray(post)
+    n = len(post)
+    if n == 0:
+        return np.zeros((0,), bool)
+    on_ev = post >= activation_th
+    off_ev = post < deactivation_th
+    idx = np.arange(n)
+    last_event = np.maximum.accumulate(np.where(on_ev | off_ev, idx, -1))
+    return (last_event >= 0) & on_ev[np.maximum(last_event, 0)]
 
 
 def _binary_to_spans(active: np.ndarray, hop_s: float, offset_s: float = 0.0) -> list:

@@ -31,23 +31,7 @@ import optax
 from ..models import registry
 from ..models.base import TaggerConfig
 from . import checkpoints as ckpt_lib
-from .loop import PlateauScheduler, make_optimizer
-
-
-def _set_lr_vector(opt_state, lrs: np.ndarray):
-    """Write the per-config learning-rate vector into the vmapped
-    inject_hyperparams state (same traversal as loop._set_lr)."""
-
-    def visit(state):
-        if hasattr(state, "hyperparams") and "learning_rate" in state.hyperparams:
-            state.hyperparams["learning_rate"] = jnp.asarray(lrs, jnp.float32)
-            return True
-        if isinstance(state, tuple):
-            return any(visit(s) for s in state)
-        return False
-
-    visit(opt_state)
-    return opt_state
+from .loop import PlateauScheduler, _set_lr, batches_to_device, make_optimizer
 
 
 class GridTrainer:
@@ -73,6 +57,7 @@ class GridTrainer:
         seed: int = 42,
         gradient_clipping: float = 0.0,
         detect_anomaly: Optional[bool] = None,
+        tag: str = "",
     ):
         if architecture not in self.SUPPORTED:
             raise ValueError(
@@ -91,6 +76,7 @@ class GridTrainer:
         self.check_dir = check_dir
         self.seed = seed
         self.clip = gradient_clipping
+        self.tag = tag
         if detect_anomaly is None:
             detect_anomaly = os.environ.get("MTS_DETECT_ANOMALY", "1") != "0"
         self.detect_anomaly = detect_anomaly
@@ -102,8 +88,12 @@ class GridTrainer:
         self._stop_params: List[Optional[dict]] = [None] * len(self.grid)
 
     def _config_dir(self, g: int) -> str:
+        # `tag` disambiguates runs sharing one check_dir (e.g. per-fold
+        # tags from train_fit); without it a later fold's checkpoints would
+        # overwrite an earlier fold's before anything gets tested
         din, dout = self.grid[g]
-        return os.path.join(self.check_dir, f"grid_di{din:g}_do{dout:g}")
+        tag = f"{self.tag}_" if self.tag else ""
+        return os.path.join(self.check_dir, f"grid_{tag}di{din:g}_do{dout:g}")
 
     def _cfg_for(self, g: int) -> TaggerConfig:
         din, dout = self.grid[g]
@@ -142,21 +132,11 @@ class GridTrainer:
             )
         )
 
-        # upload batches once — they are constant across epochs and
-        # re-shipping them through the remote device link every step costs
-        # far more than the step itself (see Trainer._to_device)
-        def to_device(batches):
-            out = []
-            for b in batches:
-                db = dict(b)
-                for key in ("src_tokens", "tgt_tokens", "src_lengths"):
-                    db[key] = jnp.asarray(np.asarray(b[key]))
-                out.append(db)
-            return out
-
-        train_batches = to_device(train_batches)
+        # upload batches once (see loop.batches_to_device for the measured
+        # rationale)
+        train_batches = batches_to_device(train_batches)
         if valid_batches:
-            valid_batches = to_device(valid_batches)
+            valid_batches = batches_to_device(valid_batches)
 
         scheds = [PlateauScheduler(self.lr) for _ in range(G)]
         lr_vec = np.full((G,), self.lr, np.float32)
@@ -168,99 +148,104 @@ class GridTrainer:
         for g in range(G):
             os.makedirs(self._config_dir(g), exist_ok=True)
 
-        for epoch in range(self.max_epochs):
-            epoch_losses = []
-            for bi, batch in enumerate(train_batches):
-                rng, k = jax.random.split(rng)
-                params, opt_state, loss = step(
-                    params,
-                    opt_state,
-                    rates,
-                    jnp.asarray(batch["src_tokens"]),
-                    jnp.asarray(batch["src_lengths"]),
-                    jnp.asarray(batch["tgt_tokens"]),
-                    k,
-                )
-                epoch_losses.append(loss)
-            batch_losses = np.stack([np.asarray(l) for l in epoch_losses])  # [n_b, G]
-            if self.detect_anomaly and not np.all(np.isfinite(batch_losses)):
-                b, g = map(int, np.argwhere(~np.isfinite(batch_losses))[0])
-                raise FloatingPointError(
-                    f"detect_anomaly: non-finite training loss at epoch {epoch}, "
-                    f"batch {b}, grid config {self.grid[g]} (set "
-                    f"MTS_DETECT_ANOMALY=0 to train through it)"
-                )
-            train_loss = batch_losses.mean(axis=0)  # [G]
-
-            if valid_batches:
-                vals, weights = [], []
-                for batch in valid_batches:
-                    l = eval_loss(
+        # written in `finally`: a mid-training crash still leaves every
+        # configuration's top-1 checkpoint on disk
+        try:
+            for epoch in range(self.max_epochs):
+                epoch_losses = []
+                for bi, batch in enumerate(train_batches):
+                    rng, k = jax.random.split(rng)
+                    params, opt_state, loss = step(
                         params,
+                        opt_state,
+                        rates,
                         jnp.asarray(batch["src_tokens"]),
                         jnp.asarray(batch["src_lengths"]),
                         jnp.asarray(batch["tgt_tokens"]),
+                        k,
                     )
-                    vals.append(np.asarray(l))
-                    weights.append(batch.get("n_real", len(batch["src_lengths"])))
-                val_loss = np.average(np.stack(vals), axis=0, weights=weights)  # [G]
-            else:
-                val_loss = None
+                    epoch_losses.append(loss)
+                batch_losses = np.stack([np.asarray(l) for l in epoch_losses])  # [n_b, G]
+                if self.detect_anomaly and not np.all(np.isfinite(batch_losses)):
+                    b, g = map(int, np.argwhere(~np.isfinite(batch_losses))[0])
+                    raise FloatingPointError(
+                        f"detect_anomaly: non-finite training loss at epoch {epoch}, "
+                        f"batch {b}, grid config {self.grid[g]} (set "
+                        f"MTS_DETECT_ANOMALY=0 to train through it)"
+                    )
+                train_loss = batch_losses.mean(axis=0)  # [G]
 
-            monitored = (
-                train_loss
-                if (self.monitor == "training_loss" or val_loss is None)
-                else val_loss
-            )
-            for g in range(G):
-                self.histories[g].append(
-                    {
-                        "epoch": epoch,
-                        "training_loss": float(train_loss[g]),
-                        "val_loss": None if val_loss is None else float(val_loss[g]),
-                    }
-                )
-
-            for g in range(G):
-                if stopped[g]:
-                    continue
-                m = float(monitored[g])
-                if not np.isfinite(m):
-                    m = float("inf")
-                if m < best[g] or self.best_model_paths[g] is None:
-                    best[g] = m
-                    bad[g] = 0
-                    # device-side snapshot; the disk write happens once at
-                    # fit end (see Trainer.fit for the measured rationale)
-                    best_snapshots[g] = jax.tree.map(
-                        lambda a, g=g: a[g].copy(), params
-                    )
-                    fname_val = m if np.isfinite(m) else 9999.9999
-                    self.best_model_paths[g] = os.path.join(
-                        self._config_dir(g), ckpt_lib.checkpoint_name(epoch, fname_val, 0.5)
-                    )
-                    best_extras[g] = {"epoch": epoch, "monitored": m, "grid": self.grid[g]}
+                if valid_batches:
+                    vals, weights = [], []
+                    for batch in valid_batches:
+                        l = eval_loss(
+                            params,
+                            jnp.asarray(batch["src_tokens"]),
+                            jnp.asarray(batch["src_lengths"]),
+                            jnp.asarray(batch["tgt_tokens"]),
+                        )
+                        vals.append(np.asarray(l))
+                        weights.append(batch.get("n_real", len(batch["src_lengths"])))
+                    val_loss = np.average(np.stack(vals), axis=0, weights=weights)  # [G]
                 else:
-                    bad[g] += 1
-                    if not self.no_early_stop and bad[g] >= self.patience:
-                        stopped[g] = True
-                        self._stop_params[g] = jax.tree.map(
+                    val_loss = None
+
+                monitored = (
+                    train_loss
+                    if (self.monitor == "training_loss" or val_loss is None)
+                    else val_loss
+                )
+                for g in range(G):
+                    self.histories[g].append(
+                        {
+                            "epoch": epoch,
+                            "training_loss": float(train_loss[g]),
+                            "val_loss": None if val_loss is None else float(val_loss[g]),
+                        }
+                    )
+
+                for g in range(G):
+                    if stopped[g]:
+                        continue
+                    m = float(monitored[g])
+                    if not np.isfinite(m):
+                        m = float("inf")
+                    if m < best[g] or self.best_model_paths[g] is None:
+                        best[g] = m
+                        bad[g] = 0
+                        # device-side snapshot; the disk write happens once at
+                        # fit end (see Trainer.fit for the measured rationale)
+                        best_snapshots[g] = jax.tree.map(
                             lambda a, g=g: a[g].copy(), params
                         )
-                lr_vec[g] = scheds[g].step(float(monitored[g]))
-            opt_state = _set_lr_vector(opt_state, lr_vec)
+                        fname_val = m if np.isfinite(m) else 9999.9999
+                        self.best_model_paths[g] = os.path.join(
+                            self._config_dir(g), ckpt_lib.checkpoint_name(epoch, fname_val, 0.5)
+                        )
+                        best_extras[g] = {"epoch": epoch, "monitored": m, "grid": self.grid[g]}
+                    else:
+                        bad[g] += 1
+                        if not self.no_early_stop and bad[g] >= self.patience:
+                            stopped[g] = True
+                            self._stop_params[g] = jax.tree.map(
+                                lambda a, g=g: a[g].copy(), params
+                            )
+                    lr_vec[g] = scheds[g].step(float(monitored[g]))
+                opt_state = _set_lr(opt_state, lr_vec)  # vector of per-config rates
 
-            if stopped.all() and not self.no_early_stop:
-                break
+                if stopped.all() and not self.no_early_stop:
+                    break
 
-        for g in range(G):
-            ckpt_lib.save(
-                self.best_model_paths[g],
-                jax.tree.map(np.asarray, best_snapshots[g]),
-                self._cfg_for(g),
-                self.arch_name,
-                extra=best_extras[g],
-            )
+        finally:
+            for g in range(G):
+                if best_snapshots[g] is not None:
+                    ckpt_lib.save(
+                        self.best_model_paths[g],
+                        jax.tree.map(np.asarray, best_snapshots[g]),
+                        self._cfg_for(g),
+                        self.arch_name,
+                        extra=best_extras[g],
+                    )
         self.params = params
         return params, self.histories
 

@@ -73,6 +73,37 @@ def _set_lr(opt_state, lr: float):
     return opt_state
 
 
+_DEVICE_KEYS = ("src_tokens", "tgt_tokens", "src_lengths", "domain", "src_tokens2")
+
+
+def batches_to_device(batches: List[dict], mesh=None) -> List[dict]:
+    """Upload each batch's arrays ONCE before the epoch loop.
+
+    Batches are constant across epochs; re-running jnp.asarray on host
+    arrays every step re-ships them through the (remote) device link —
+    measured ~265 ms per 16 MB batch on the axon tunnel vs a ~9 ms train
+    step. With a mesh, arrays are placed with their training shardings so
+    the jitted step never reshards them.
+    """
+    shardings = None
+    if mesh is not None:
+        from ..parallel.mesh import batch_shardings
+
+        shardings = batch_shardings(mesh)
+        shardings["src_tokens2"] = shardings["src_tokens"]
+    out = []
+    for batch in batches:
+        db = dict(batch)
+        for key in _DEVICE_KEYS:
+            if key in batch and hasattr(batch[key], "shape"):
+                if shardings is not None:
+                    db[key] = jax.device_put(np.asarray(batch[key]), shardings[key])
+                else:
+                    db[key] = jnp.asarray(np.asarray(batch[key]))
+        out.append(db)
+    return out
+
+
 class PlateauScheduler:
     """torch ReduceLROnPlateau(mode=min, factor, patience, rel threshold 1e-4)."""
 
@@ -203,34 +234,8 @@ class Trainer:
             extra["x2"] = jnp.asarray(batch["src_tokens2"])
         return extra
 
-    _DEVICE_KEYS = ("src_tokens", "tgt_tokens", "src_lengths", "domain", "src_tokens2")
-
     def _to_device(self, batches: List[dict], shard: bool = True) -> List[dict]:
-        """Upload each batch's arrays ONCE before the epoch loop.
-
-        Batches are constant across epochs; re-running jnp.asarray on host
-        arrays every step re-ships them through the (remote) device link —
-        measured ~265 ms per 16 MB batch on the axon tunnel vs a ~9 ms
-        train step. With a mesh, arrays are placed with their training
-        shardings so the jitted step never reshards them.
-        """
-        shardings = None
-        if self.mesh is not None and shard:
-            from ..parallel.mesh import batch_shardings
-
-            shardings = batch_shardings(self.mesh)
-            shardings["src_tokens2"] = shardings["src_tokens"]
-        out = []
-        for batch in batches:
-            db = dict(batch)
-            for key in self._DEVICE_KEYS:
-                if key in batch and hasattr(batch[key], "shape"):
-                    if shardings is not None:
-                        db[key] = jax.device_put(np.asarray(batch[key]), shardings[key])
-                    else:
-                        db[key] = jnp.asarray(np.asarray(batch[key]))
-            out.append(db)
-        return out
+        return batches_to_device(batches, self.mesh if shard else None)
 
     def _pad_batch_axis(self, batch: dict) -> dict:
         """Pad the document axis to a multiple of the mesh 'data' axis.
@@ -280,80 +285,85 @@ class Trainer:
         os.makedirs(self.check_dir, exist_ok=True)
 
         history = []
-        for epoch in range(self.max_epochs):
-            train_losses = []
-            for batch in train_batches:
-                rng, k = jax.random.split(rng)
-                step = self._train_step()
-                params, opt_state, loss = step(
-                    params,
-                    opt_state,
-                    jnp.asarray(batch["src_tokens"]),
-                    jnp.asarray(batch["src_lengths"]),
-                    jnp.asarray(batch["tgt_tokens"]),
-                    k,
-                    self._extra(batch),
-                )
-                train_losses.append(loss)
-            batch_losses = [float(l) for l in train_losses]
-            if self.detect_anomaly and not all(np.isfinite(batch_losses)):
-                bad = int(np.flatnonzero(~np.isfinite(batch_losses))[0])
-                raise FloatingPointError(
-                    f"detect_anomaly: non-finite training loss "
-                    f"{batch_losses[bad]} at epoch {epoch}, batch {bad} "
-                    f"(arch={self.arch_name}, lr={self.lr}; set "
-                    f"MTS_DETECT_ANOMALY=0 to train through it)"
-                )
-            train_loss = float(np.mean(batch_losses))
-
-            if valid_batches:
-                val_losses, weights = [], []
-                for batch in valid_batches:
-                    ev = self._eval_loss()
-                    l = ev(
+        # the best snapshot is written in `finally` so a mid-training
+        # crash (NaN tripwire, interrupt, backend failure) still leaves
+        # the top-1 checkpoint on disk, as eager per-epoch saving did
+        try:
+            for epoch in range(self.max_epochs):
+                train_losses = []
+                for batch in train_batches:
+                    rng, k = jax.random.split(rng)
+                    step = self._train_step()
+                    params, opt_state, loss = step(
                         params,
+                        opt_state,
                         jnp.asarray(batch["src_tokens"]),
                         jnp.asarray(batch["src_lengths"]),
                         jnp.asarray(batch["tgt_tokens"]),
+                        k,
                         self._extra(batch),
                     )
-                    val_losses.append(float(l))
-                    weights.append(batch.get("n_real", len(batch["src_lengths"])))
-                val_loss = float(np.average(val_losses, weights=weights))
-            else:
-                val_loss = None
+                    train_losses.append(loss)
+                batch_losses = [float(l) for l in train_losses]
+                if self.detect_anomaly and not all(np.isfinite(batch_losses)):
+                    bad = int(np.flatnonzero(~np.isfinite(batch_losses))[0])
+                    raise FloatingPointError(
+                        f"detect_anomaly: non-finite training loss "
+                        f"{batch_losses[bad]} at epoch {epoch}, batch {bad} "
+                        f"(arch={self.arch_name}, lr={self.lr}; set "
+                        f"MTS_DETECT_ANOMALY=0 to train through it)"
+                    )
+                train_loss = float(np.mean(batch_losses))
 
-            monitored = train_loss if self.monitor == "training_loss" else val_loss
-            if monitored is None:
-                monitored = train_loss
-            history.append({"epoch": epoch, "training_loss": train_loss, "val_loss": val_loss})
+                if valid_batches:
+                    val_losses, weights = [], []
+                    for batch in valid_batches:
+                        ev = self._eval_loss()
+                        l = ev(
+                            params,
+                            jnp.asarray(batch["src_tokens"]),
+                            jnp.asarray(batch["src_lengths"]),
+                            jnp.asarray(batch["tgt_tokens"]),
+                            self._extra(batch),
+                        )
+                        val_losses.append(float(l))
+                        weights.append(batch.get("n_real", len(batch["src_lengths"])))
+                    val_loss = float(np.average(val_losses, weights=weights))
+                else:
+                    val_loss = None
 
-            # top-1 checkpoint on improvement (NaN counts as no improvement,
-            # but the first epoch always checkpoints so a best path exists).
-            # The snapshot stays ON DEVICE (a per-leaf copy costs ~nothing);
-            # pulling params through the remote link every improving epoch
-            # measured ~0.7-1 s — the single disk write happens at fit end.
-            if not np.isfinite(monitored):
-                monitored = float("inf")
-            if monitored < best or best_snapshot is None:
-                best = monitored
-                bad_epochs = 0
-                best_snapshot = jax.tree.map(lambda a: a.copy(), params)
-                fname_val = monitored if np.isfinite(monitored) else 9999.9999
-                self.best_model_path = os.path.join(
-                    self.check_dir, ckpt_lib.checkpoint_name(epoch, fname_val, 0.5)
-                )
-                best_extra = {"epoch": epoch, "monitored": monitored}
-            else:
-                bad_epochs += 1
-                if not self.no_early_stop and bad_epochs >= self.patience:
-                    break
+                monitored = train_loss if self.monitor == "training_loss" else val_loss
+                if monitored is None:
+                    monitored = train_loss
+                history.append({"epoch": epoch, "training_loss": train_loss, "val_loss": val_loss})
 
-            opt_state = _set_lr(opt_state, sched.step(monitored))
+                # top-1 checkpoint on improvement (NaN counts as no improvement,
+                # but the first epoch always checkpoints so a best path exists).
+                # The snapshot stays ON DEVICE (a per-leaf copy costs ~nothing);
+                # pulling params through the remote link every improving epoch
+                # measured ~0.7-1 s — the single disk write happens at fit end.
+                if not np.isfinite(monitored):
+                    monitored = float("inf")
+                if monitored < best or best_snapshot is None:
+                    best = monitored
+                    bad_epochs = 0
+                    best_snapshot = jax.tree.map(lambda a: a.copy(), params)
+                    fname_val = monitored if np.isfinite(monitored) else 9999.9999
+                    self.best_model_path = os.path.join(
+                        self.check_dir, ckpt_lib.checkpoint_name(epoch, fname_val, 0.5)
+                    )
+                    best_extra = {"epoch": epoch, "monitored": monitored}
+                else:
+                    bad_epochs += 1
+                    if not self.no_early_stop and bad_epochs >= self.patience:
+                        break
 
-        if best_snapshot is not None:
-            ckpt_lib.save(self.best_model_path, best_snapshot, self.cfg,
-                          self.arch_name, extra=best_extra)
+                opt_state = _set_lr(opt_state, sched.step(monitored))
+
+        finally:
+            if best_snapshot is not None:
+                ckpt_lib.save(self.best_model_path, best_snapshot, self.cfg,
+                              self.arch_name, extra=best_extra)
         self.params = params
         self.history = history
         return params, history

@@ -235,12 +235,21 @@ def load_icsi_corpus(root: str, delete_last_sentence: bool = False):
             matches = [s for s in seg_files if re.search(re.escape(fname[:-6]), s)]
             if not matches:
                 continue
+            # CONTRACT: a segments file containing ANY line without a float
+            # timestamp drops the whole meeting (the reference indexes the
+            # first regex hit inside a try whose except skips the file,
+            # utils/load_datasets.py:203-212) — corpus composition must match
             seg_ends = []
+            bad_line = False
             with open(os.path.join(seg_dir, matches[0])) as f:
                 for line in f:
                     found = re.findall(r"\d+\.\d+", line)
-                    if found:
-                        seg_ends.append(float(found[0]))
+                    if not found:
+                        bad_line = True
+                        break
+                    seg_ends.append(float(found[0]))
+            if bad_line:
+                continue
 
             texts, starts = [], []
             with open(os.path.join(dirpath, fname)) as f:

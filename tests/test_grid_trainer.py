@@ -148,3 +148,60 @@ def test_parallel_grid_cli_matches_serial(tmp_path):
         sl = [l for l in s_res.splitlines() if l.startswith(line)]
         pl = [l for l in p_res.splitlines() if l.startswith(line)]
         assert sl == pl, (sl, pl)
+
+
+def test_grid_tag_keeps_fold_checkpoints_apart(tmp_path, data):
+    """Two grid runs sharing one check_dir (k-fold without
+    --save_all_checkpoints) must not overwrite each other's checkpoints."""
+    train, valid = data
+    cfg = TaggerConfig(embedding_dim=12, hidden_dim=8, num_layers=1, loss_fn="FocalLoss")
+    paths = []
+    for tag in ("f0", "f1"):
+        gt = GridTrainer("BiLSTM", cfg, GRID[:2], lr=1e-2, max_epochs=2,
+                         monitor="training_loss", no_early_stop=True,
+                         check_dir=str(tmp_path / "shared"), seed=42, tag=tag)
+        gt.fit([dict(b) for b in train], None)
+        paths.extend(gt.save_final(g) for g in range(2))
+    assert len(set(paths)) == 4, paths
+    import os
+    assert all(os.path.exists(p) for p in paths)
+
+
+@pytest.mark.slow
+def test_parallel_grid_cli_kfold_matches_serial(tmp_path):
+    """k-fold cross-validation with -pg: every (config, fold) pair must test
+    ITS OWN weights (round-2 review finding: shared final=0.500.ckpt names
+    let the last fold overwrite earlier folds before testing)."""
+    import json
+    import os
+
+    from tests.synth import make_synthetic_corpus
+    import multimodaltopicsegmentation_tpu.cli.train_fit as tf
+
+    emb_dir, lab_file, _split = make_synthetic_corpus(str(tmp_path / "c"), n_docs=8, dim=20)
+    tf.EMBEDDING_SIZES["CNN"] = 20
+    cwd = os.getcwd()
+
+    def run(exp, extra):
+        args = tf.build_parser().parse_args([
+            "-exp", exp, "-arc", "BiLSTM", "-enc", "CNN",
+            "-ef", emb_dir, "-lf", lab_file, "-lr", "1e-2",
+            "-bs", "4", "-max", "3", "-vp", "0.25", "-pat", "3",
+            "-loss", "FocalLoss", "-s_last", "-kcv", "2",
+            "-hs", "-huss", "12", "-nlss", "1",
+            "-diss", "0.0", "0.3", "-doss", "0.0",
+        ] + extra)
+        try:
+            tf.main(args)
+        finally:
+            os.chdir(cwd)
+
+    run(str(tmp_path / "serial"), [])
+    run(str(tmp_path / "lockstep"), ["-pg"])
+
+    s_res = open(tmp_path / "serial" / "results.txt").read()
+    p_res = open(tmp_path / "lockstep" / "results.txt").read()
+    for line in ("Mean Pk obtained is", "Best hyperparameters"):
+        sl = [l for l in s_res.splitlines() if l.startswith(line)]
+        pl = [l for l in p_res.splitlines() if l.startswith(line)]
+        assert sl == pl, (sl, pl)
