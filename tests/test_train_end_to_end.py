@@ -137,3 +137,58 @@ def test_train_fit_learns_on_easy_corpus(tmp_path):
     txt = open(os.path.join(exp, "results.txt")).read()
     pk = float([l for l in txt.splitlines() if "Mean Pk" in l][0].split()[-1])
     assert pk < 0.25, f"model failed to learn: Pk={pk}"
+
+
+def test_add_dataset_merges_sibling_corpus(tmp_path, monkeypatch):
+    """--both_datasets derives the sibling corpus location from the primary
+    embedding folder by Radio<->Non substitution at the fixed
+    ../<corpus>/<corpus>/... layout (reference load_datasets_precomputed.py:14-54)."""
+    import pickle
+    from types import SimpleNamespace
+
+    from multimodaltopicsegmentation_tpu.train.data import add_dataset
+
+    rng = np.random.default_rng(0)
+
+    def corpus(emb_dir, lab_path, n_docs, prefix):
+        os.makedirs(emb_dir, exist_ok=True)
+        labs = {}
+        for i in range(n_docs):
+            name = f"{prefix}{i:02d}"
+            emb = rng.standard_normal((12, 8)).astype(np.float32)
+            np.save(os.path.join(emb_dir, name + ".npy"), emb)
+            labs[name] = [0] * 5 + [1] + [0] * 5 + [1]
+        with open(lab_path, "wb") as f:
+            pickle.dump(labs, f)
+
+    # primary corpus under the working dir; sibling at ../NonNewsT/NonNewsT
+    work = tmp_path / "work"
+    corpus(str(work / "RadioNewsT" / "emb"),
+           str(work / "RadioNewsT" / "labs_dict.pkl"), 5, "r")
+    corpus(str(tmp_path / "NonNewsT" / "NonNewsT" / "emb"),
+           str(tmp_path / "NonNewsT" / "NonNewsT" / "labs_dict.pkl"), 5, "n")
+
+    monkeypatch.chdir(work)
+    from multimodaltopicsegmentation_tpu.train.data import load_dataset_from_precomputed
+
+    folds = load_dataset_from_precomputed(
+        "RadioNewsT/emb", "RadioNewsT/labs_dict.pkl", k_folds=5
+    )
+    args = SimpleNamespace(
+        embedding_folder="RadioNewsT/emb", embedding_folder2=None,
+        delete_last_sentence=False, k_folds=5, mask_inner_sentences=False,
+        mask_probability=0.9, standard_split=None,
+    )
+    merged = add_dataset(args, folds)
+    assert len(merged) == len(folds)
+    for fold, orig in zip(merged, folds):
+        # each split grew by the sibling's contribution
+        assert len(fold[0]) > len(orig[0])
+        names = {doc[2] for doc in fold[0]} | {doc[2] for doc in fold[1]}
+        assert any(n.startswith("n") for n in names), names
+        assert any(n.startswith("r") for n in names), names
+
+    # a corpus that is neither RadioNews nor NonNews must be rejected
+    args.embedding_folder = "Podcast/emb"
+    with pytest.raises(ValueError, match="RadioNews or NonNews"):
+        add_dataset(args, folds)
