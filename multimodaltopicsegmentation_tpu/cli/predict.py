@@ -165,22 +165,9 @@ class Predictor(BasePredictor):
             # (the reference's own BCE->CE fallback, predict.py:227-256, is
             # resolved from the classifier shape inside the converter)
             try:
-                # load the converter by explicit file path: no sys.path
-                # mutation, and it keeps resolving when the package is
-                # imported from outside the checkout
-                import importlib.util
+                from ..tools.convert_reference_checkpoint import load_torch_checkpoint
 
-                conv_path = os.path.join(
-                    os.path.dirname(os.path.abspath(__file__)),
-                    "..", "..", "tools", "convert_reference_checkpoint.py",
-                )
-                spec = importlib.util.spec_from_file_location(
-                    "_mts_ref_ckpt_converter", conv_path
-                )
-                conv = importlib.util.module_from_spec(spec)
-                spec.loader.exec_module(conv)
-
-                params, cfg, arch_name = conv.load_torch_checkpoint(
+                params, cfg, arch_name = load_torch_checkpoint(
                     best_model_path, architecture
                 )
                 cfg = dataclasses.replace(cfg, threshold=threshold)

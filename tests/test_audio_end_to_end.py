@@ -122,3 +122,38 @@ def test_extract_train_predict_mfcc(tmp_path):
     # wrote audio segments for docs with detected boundaries
     seg_dir = os.path.join(pred_exp, "audio_segments")
     assert os.path.exists(seg_dir)
+
+
+def test_extract_wav2vec_smoke(tmp_path, monkeypatch):
+    """Raw audio through the NEURAL (wav2vec2) extraction path with random
+    weights (MTS_RANDOM_ENCODER_WEIGHTS=1): batched device encode, the 7
+    pooling-variant dirs, label alignment."""
+    from multimodaltopicsegmentation_tpu.cli.extract_embeddings import (
+        build_parser as extract_parser,
+        main as extract_main,
+    )
+
+    monkeypatch.setenv("MTS_RANDOM_ENCODER_WEIGHTS", "1")
+    monkeypatch.setenv("MTS_WAV2VEC2_TINY", "1")  # tiny geometry if supported
+    audio_dir, data_dir, lab_path = make_audio_corpus(str(tmp_path), n_docs=2)
+    emb_dir = str(tmp_path / "emb")
+    lab_out = str(tmp_path / "labs")
+
+    args = extract_parser().parse_args([
+        "-data", data_dir, "-audio", audio_dir, "-od", emb_dir,
+        "-lab", lab_path, "-lod", lab_out, "--wav2vec", "-vd", "-ui", "2.0",
+    ])
+    extract_main(args)
+
+    mean_dir = os.path.join(emb_dir, "_mean")
+    assert os.path.isdir(mean_dir), os.listdir(emb_dir)
+    files = [f for f in os.listdir(mean_dir) if f.endswith(".npy")]
+    assert len(files) == 2
+    emb = np.load(os.path.join(mean_dir, files[0]))
+    assert emb.ndim == 2
+    assert np.all(np.isfinite(emb))
+    with open(os.path.join(lab_out, "labs_dict.pkl"), "rb") as f:
+        labs = pickle.load(f)
+    for name in labs:
+        n_units = np.load(os.path.join(mean_dir, name + ".npy")).shape[0]
+        assert len(labs[name]) == n_units
