@@ -141,6 +141,13 @@ def prosodic_features(
         else:
             f0, voicing = yin(y, sr)
         f0, voicing = f0[:T], voicing[:T]
+        # the reference chains PLAIN yin (no voicing mask, never NaN) as the
+        # previous-unit track for the pitch jump (extract_embeddings.py:523,529)
+        if use_pyin:
+            raw_f0, _ = yin(y, sr)
+            raw_f0 = raw_f0[:T]
+        else:
+            raw_f0 = f0
         f0_mean, f0_std, f0_valid = _f0_stats(f0, fmask)
         p_mean, p_std, v_mean, v_std = pause_statistics(voicing, fmask)
         mel = melspectrogram(y, sr, n_mels=40)[:, :T]
@@ -156,36 +163,50 @@ def prosodic_features(
                 dmel_std,
             ]
         )
-        return stats, (f0, f0_valid, t_valid)
+        return stats, (f0, raw_f0, f0_valid, t_valid)
 
-    stats, (f0_all, f0_valid_all, tvalid_all) = jax.vmap(per_unit)(units, unit_lengths)
+    stats, (f0_all, raw_all, f0_valid_all, tvalid_all) = jax.vmap(per_unit)(
+        units, unit_lengths
+    )
 
-    # pitch jump vs previous unit (first unit -> 0), sequential over units
+    # Pitch jump vs the previous unit (first unit -> 0). Reference math
+    # (extract_acoustic_features.py:97-106): nanmean over the first len//5
+    # pyin frames of f0/nanmean(f0), MINUS the mean over the previous unit's
+    # last len//5 PLAIN-yin frames of prev/mean(prev). Degenerate cases all
+    # collapse to 0 like the reference: an empty head slice (unit under 5
+    # frames), an all-unvoiced current unit (reference zero-fills f0, the
+    # ratio goes 0/0 -> NaN -> 0). A previous unit under 5 frames uses its
+    # WHOLE track (the reference's prev[-0:] slice quirk).
     def jump(i):
         f0 = f0_all[i]
         vmask = f0_valid_all[i]
         t = tvalid_all[i]
-        head = (jnp.arange(T) < jnp.maximum(t // 5, 0)) & vmask
-        f0z = jnp.where(vmask, f0, 0.0)
-        overall = jnp.sum(f0z) / jnp.maximum(jnp.sum(vmask), 1)
-        head_mean = jnp.sum(jnp.where(head, f0 / jnp.maximum(overall, 1e-8), 0.0)) / jnp.maximum(
-            jnp.sum(head), 1
+        head = (jnp.arange(T) < t // 5) & vmask
+        head_cnt = jnp.sum(head)
+        voiced = jnp.sum(vmask)
+        overall = jnp.sum(jnp.where(vmask, f0, 0.0)) / jnp.maximum(voiced, 1)
+        head_mean = (
+            jnp.sum(jnp.where(head, f0, 0.0))
+            / jnp.maximum(head_cnt, 1)
+            / jnp.maximum(overall, 1e-8)
         )
 
-        pf0 = f0_all[i - 1]
-        pmask = f0_valid_all[i - 1]
+        praw = raw_all[i - 1]
         pt = tvalid_all[i - 1]
-        tail_start = pt - pt // 5
-        tail = (jnp.arange(T) >= tail_start) & (jnp.arange(T) < pt) & pmask
-        pf0z = jnp.where(pmask, pf0, 0.0)
-        poverall = jnp.sum(pf0z) / jnp.maximum(jnp.sum(pmask), 1)
-        tail_mean = jnp.sum(
-            jnp.where(tail, pf0 / jnp.maximum(poverall, 1e-8), 0.0)
-        ) / jnp.maximum(jnp.sum(tail), 1)
+        pt5 = pt // 5
+        n_tail = jnp.where(pt5 > 0, pt5, pt)
+        idx = jnp.arange(T)
+        tail = (idx >= pt - n_tail) & (idx < pt)
+        poverall = jnp.sum(jnp.where(idx < pt, praw, 0.0)) / jnp.maximum(pt, 1)
+        tail_mean = (
+            jnp.sum(jnp.where(tail, praw, 0.0))
+            / jnp.maximum(n_tail, 1)
+            / jnp.maximum(poverall, 1e-8)
+        )
 
         j = head_mean - tail_mean
-        j = jnp.where(jnp.isfinite(j), j, 0.0)
-        return jnp.where(i == 0, 0.0, j)
+        ok = (head_cnt > 0) & (voiced > 0) & (pt > 0) & jnp.isfinite(j)
+        return jnp.where((i == 0) | ~ok, 0.0, j)
 
     jumps = jax.vmap(jump)(jnp.arange(U))
     return jnp.concatenate([stats, jumps[:, None]], axis=-1)

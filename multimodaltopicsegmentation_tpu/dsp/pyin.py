@@ -118,9 +118,14 @@ def pyin(
     band = cmndf[:, tau_min:tau_max]  # [T, n_tau]
 
     # ---- trough candidates (local minima, parabolic-refined) --------------
-    left = jnp.concatenate([jnp.full((T, 1), jnp.inf), band[:, :-1]], axis=1)
-    right = jnp.concatenate([band[:, 1:], jnp.full((T, 1), jnp.inf)], axis=1)
-    is_trough = (band <= left) & (band < right)
+    # librosa localmin semantics: x < left AND x <= right, never a trough at
+    # index 0 (left edge pads -inf so the strict test fails there; right edge
+    # mirrors librosa's edge padding). The previous <=/< mirror picked a
+    # different lag on plateaus and synthesized a phantom trough on constant
+    # (zero-energy) frames.
+    left = jnp.concatenate([jnp.full((T, 1), -jnp.inf), band[:, :-1]], axis=1)
+    right = jnp.concatenate([band[:, 1:], band[:, -1:]], axis=1)
+    is_trough = (band < left) & (band <= right)
 
     # keep up to max_troughs troughs per frame, in tau order
     order_key = jnp.where(is_trough, jnp.arange(n_tau)[None, :], n_tau + 1)

@@ -51,7 +51,7 @@ def speech_segments(
     else:
         active = e > floor + offset
 
-    hop_s = 160 / 16000 if sr == 16000 else 160 / sr
+    hop_s = 160 / sr
     spans = []
     start = None
     for i, a in enumerate(active):

@@ -49,9 +49,13 @@ def _positions_from_masses(masses: Sequence[int]) -> np.ndarray:
 
 
 def _default_window_size(ref_masses: Sequence[int]) -> int:
-    """segeval convention: round(mean reference mass / 2), Decimal half-even."""
+    """segeval convention: round(mean reference mass / 2), Decimal half-even,
+    clamped to a MINIMUM OF 2 (segeval's __compute_window_size returns
+    `window_size if window_size > 1 else 2`) — fine-grained segmentations
+    would otherwise diverge from what the reference stack reports."""
     avg = Decimal(int(sum(ref_masses))) / Decimal(len(ref_masses))
-    return int(round(avg / 2))
+    k = int(round(avg / 2))
+    return k if k > 1 else 2
 
 
 def pk(hyp_masses: Sequence[int], ref_masses: Sequence[int], window_size: int = None) -> float:
@@ -120,11 +124,18 @@ def win_pr(reference: Sequence[int], hypothesis: Sequence[int], k: int = 10):
     )
     n = len(reference)
     rc = []
+    # the carry comes from the FIRST element of the previous iteration's
+    # raw python slice reference[i:i+k] — for documents SHORTER than k the
+    # negative start wraps to the array tail and the carry can fire during
+    # the leading partial windows; keep the literal slice bookkeeping so
+    # that quirk is preserved (lightning_model.py:83-99)
+    span_r_prev: list = []
+    span_c_prev: list = []
     for i in range(1 - k, n + 1):
-        # carry of the element just left of the window (enters once windows
-        # have a full predecessor; replicates the reference's Spans bookkeeping)
-        prev_br = reference[i - 1] if i >= 1 else 0
-        prev_bc = hypothesis[i - 1] if i >= 1 else 0
+        prev_br = 1 if span_r_prev and span_r_prev[0] == 1 else 0
+        prev_bc = 1 if span_c_prev and span_c_prev[0] == 1 else 0
+        span_r_prev = reference[i : i + k]
+        span_c_prev = hypothesis[i : i + k]
         r = sum(reference[max(i, 0) : i + k]) + prev_br
         c = sum(hypothesis[max(i, 0) : i + k]) + prev_bc
         rc.append((r, c))

@@ -77,6 +77,10 @@ def local_attention(
     if use_pallas == "auto":
         use_pallas = False
     if use_pallas is True:
+        # the fused kernel supports neither additive score biases (T5
+        # relative positions) nor non-prefix masks — silently dropping
+        # either would change logits vs the XLA path used in training
+        assert bias_fn is None, "pallas local attention does not support bias_fn"
         from .pallas_attention import pallas_local_attention
 
         return pallas_local_attention(q, k, v, window, mask)

@@ -49,8 +49,9 @@ def segment_first(frames: jnp.ndarray, seg_ids: jnp.ndarray, n_units: int) -> jn
 def pool(frames: jnp.ndarray, seg_ids: jnp.ndarray, n_units: int, variant: str) -> jnp.ndarray:
     """One of the reference's pooling variants.
 
-    _delta_gap is the reference's boundary-contrast feature: last frame of
-    the unit minus first frame of the next unit (zero for the final unit).
+    _delta_gap is the reference's boundary-contrast feature: the NEXT unit's
+    first frame minus this unit's last frame; the final unit (no successor)
+    keeps its own last frame (extract_embeddings.py:661-666).
     """
     if variant == "mean" or variant == "_mean":
         return segment_mean(frames, seg_ids, n_units)

@@ -156,3 +156,44 @@ def test_boundary_f1():
     assert M.boundary_f1([0, 1, 0, 0], [0, 0, 0, 1]) == 0.0
     # one tp, one fn: f1 = 2*1/(2*1+0+1)
     assert M.boundary_f1([0, 1, 1, 0], [0, 1, 0, 0]) == pytest.approx(2 / 3)
+
+
+def test_win_pr_matches_reference_source():
+    """Execute the REFERENCE's own WinPR function (extracted from the
+    read-only mount at test time) and compare on short and regular docs,
+    including documents shorter than k where the reference's negative-index
+    slice wrap changes the carry."""
+    import os
+    import re
+
+    ref_file = "/root/reference/models/lightning_model.py"
+    if not os.path.exists(ref_file):
+        pytest.skip("reference mount not available")
+    src = open(ref_file).read()
+    m = re.search(r"def WinPR\(.*?\n(?=def |\nclass )", src, re.DOTALL)
+    assert m, "could not locate WinPR in the reference"
+    ns = {}
+    exec(m.group(0), ns)  # noqa: S102 - parity check against upstream source
+    ref_win_pr = ns["WinPR"]
+
+    from multimodaltopicsegmentation_tpu.eval.metrics import win_pr
+
+    rng = np.random.default_rng(0)
+    cases = []
+    for n in (3, 5, 9, 10, 11, 40):
+        for _ in range(6):
+            cases.append((
+                (rng.random(n) < 0.3).astype(int).tolist(),
+                (rng.random(n) < 0.3).astype(int).tolist(),
+            ))
+    cases.append(([1, 0, 1], [0, 1, 0]))
+    cases.append(([0] * 4, [0] * 4))
+    for ref, hyp in cases:
+        try:
+            expected = ref_win_pr(ref, hyp)
+        except ZeroDivisionError:
+            # the reference crashes when TP=0 with FP>0 (recall 0/0) — a
+            # defect deliberately not copied (we return recall 0.0)
+            continue
+        got = win_pr(ref, hyp)
+        assert got == pytest.approx(expected), (ref, hyp, got, expected)
