@@ -64,11 +64,15 @@ def write_frame_level(out_directory: str, doc_name: str, unit_frames: list):
 def main(args):
     verbose = args.verbose
     os.makedirs(args.out_directory, exist_ok=True)
-    if getattr(args, "openl3", False) or getattr(args, "wav2vec", False):
-        mean_dir = os.path.join(args.out_directory, "_mean")
-        existent_files = os.listdir(mean_dir) if os.path.exists(mean_dir) else []
-    else:
-        existent_files = os.listdir(args.out_directory)
+    # --continue_from_check probe: frame-level encoders (wav2vec/openl3/
+    # CREPE) write documents into the pooling subdirs, plain encoders into
+    # the out dir itself — scan both so resumption works for every encoder
+    existent_files = [
+        f for f in os.listdir(args.out_directory) if f.endswith(".npy")
+    ]
+    mean_dir = os.path.join(args.out_directory, "_mean")
+    if os.path.exists(mean_dir):
+        existent_files += os.listdir(mean_dir)
 
     encoder = build_encoder(args)
 

@@ -29,7 +29,14 @@ from .extract_embeddings import write_frame_level
 def main(args):
     verbose = args.verbose
     os.makedirs(args.out_directory, exist_ok=True)
-    existent_files = os.listdir(args.out_directory)
+    # frame-level encoders write into pooling subdirs; scan those too so
+    # --continue_from_check (default-on from predict) resumes for them
+    existent_files = [
+        f for f in os.listdir(args.out_directory) if f.endswith(".npy")
+    ]
+    mean_dir = os.path.join(args.out_directory, "_mean")
+    if os.path.exists(mean_dir):
+        existent_files += os.listdir(mean_dir)
 
     # inference uses the mel256/music OpenL3 variant (reference quirk)
     args._inference_variant = True

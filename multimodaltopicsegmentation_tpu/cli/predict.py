@@ -153,8 +153,6 @@ class Predictor(BasePredictor):
         self.encoder = encoder
         self.architecture = architecture
 
-        embedding_dim = pca_value if pca_reduce else encoder_dim(encoder)
-
         # our checkpoints carry the full config; rebuild only if absent
         try:
             params, cfg, arch_name, _ = ckpt_lib.load(best_model_path)
@@ -178,6 +176,16 @@ class Predictor(BasePredictor):
                     "checkpoint (see tools/convert_reference_checkpoint.py): "
                     f"{e}"
                 ) from e
+        # mirror the reference's explicit gate (predict.py:218-225): the
+        # predict flow decodes one embedding stream per document, which
+        # domain-adaptation and late-fusion taggers cannot do — fail HERE,
+        # before any embedding extraction happens
+        if registry.is_domain_adapt(arch_name) or registry.is_double_input(arch_name):
+            raise NotImplementedError(
+                f"predict does not support architecture {arch_name!r}: it "
+                "needs extra per-document inputs (domain ids / a second "
+                "modality) that the raw-audio predict pipeline cannot provide"
+            )
         self.params = params
         self.cfg = cfg
         self.arch = registry.build(arch_name, cfg)

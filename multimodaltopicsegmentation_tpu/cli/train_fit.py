@@ -406,6 +406,9 @@ def main(args):
                         f.write(
                             f"Threshold search: best={threshold} ({args.metric}={sth_val:.4f})\n"
                         )
+                    # with a working -sth, config selection runs on the
+                    # searched validation metric itself
+                    best_val_loss = sth_val
             elif not args.infer:
                 with profiling.stage("fit"), profiling.device_trace():
                     final_params, _ = trainer.fit(
@@ -430,6 +433,9 @@ def main(args):
                         f.write(
                             f"Threshold search: best={threshold} ({args.metric}={sth_val:.4f})\n"
                         )
+                    # with a working -sth, config selection runs on the
+                    # searched validation metric itself
+                    best_val_loss = sth_val
                 if args.no_validation or args.save_last_epoch:
                     trainer.save_final(final_params)
             else:
@@ -494,7 +500,15 @@ def main(args):
             results_grid_pk[nl].append(pk)
             results_grid_wd[nl].append(wd)
 
-        is_best = args.infer or best_val_loss < best_results_val
+        # with -sth on a maximized metric (F1 / b / scaiano) selection runs
+        # on the searched metric and must maximize — the reference compares
+        # '<' against an init of 0, which never fires (train_fit.py:102,470;
+        # defect not copied)
+        maximize_sel = args.search_threshold and args.metric not in ("Pk", "WD")
+        if maximize_sel:
+            is_best = args.infer or best_val_loss > best_results_val
+        else:
+            is_best = args.infer or best_val_loss < best_results_val
         if is_best:
             best_results = metrics_now
             if not args.infer:

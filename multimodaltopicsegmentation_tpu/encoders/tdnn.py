@@ -335,10 +335,20 @@ class EcapaEncoder:
         return _encode_pooled(self, audio, bounds, chunk, n_mels=80)
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=None)
+def _fbank_batch(n_mels: int):
+    """Jitted batched fbank, cached per mel count — constructing the jit
+    inside every encode_document call would re-trace per document."""
+    return jax.jit(jax.vmap(lambda y: _fbank(y, n_mels)))
+
+
 def _encode_pooled(enc, audio, bounds, chunk, n_mels):
     units, lens = pad_units(audio, bounds)
     outs = []
-    fb = jax.jit(jax.vmap(lambda y: _fbank(y, n_mels)))
+    fb = _fbank_batch(n_mels)
     for i in range(0, len(bounds), chunk):
         u = jnp.asarray(units[i : i + chunk])
         l = lens[i : i + chunk]

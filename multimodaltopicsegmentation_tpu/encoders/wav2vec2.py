@@ -198,9 +198,6 @@ def apply(params: dict, cfg: Wav2Vec2Config, audio: jnp.ndarray,
 
     # frame-level attention mask from sample lengths
     if lengths is not None:
-        t_valid = jnp.asarray(
-            [0], jnp.int32
-        )  # placeholder replaced below (computed per row)
         def out_len(n):
             for kk, ss in zip(cfg.conv_kernel, cfg.conv_stride):
                 n = (n - kk) // ss + 1

@@ -103,11 +103,11 @@ def dropout(x: jnp.ndarray, rate, rng, deterministic: bool) -> jnp.ndarray:
 
 
 def linear_params(rng, in_dim: int, out_dim: int, dtype=jnp.float32) -> dict:
-    """torch nn.Linear default init: kaiming-uniform weights, uniform bias."""
+    """torch nn.Linear default init: kaiming_uniform_(a=sqrt(5)) works out to
+    U(+-1/sqrt(fan_in)) for both weight and bias."""
     k1, k2 = jax.random.split(rng)
     bound = 1.0 / jnp.sqrt(in_dim)
-    w = jax.random.uniform(k1, (in_dim, out_dim), dtype, -bound, bound) * jnp.sqrt(3.0)
-    w = jnp.clip(w, -jnp.sqrt(3.0) * bound, jnp.sqrt(3.0) * bound)
+    w = jax.random.uniform(k1, (in_dim, out_dim), dtype, -bound, bound)
     b = jax.random.uniform(k2, (out_dim,), dtype, -bound, bound)
     return {"w": w, "b": b}
 

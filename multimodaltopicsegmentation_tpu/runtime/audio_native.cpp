@@ -30,8 +30,11 @@ uint32_t rd_u32(const uint8_t* p) {
 }
 uint16_t rd_u16(const uint8_t* p) { return (uint16_t)p[0] | ((uint16_t)p[1] << 8); }
 
-// returns 0 on success
-int parse_wav(const char* path, WavData* out) {
+// returns 0 on success. Corrupt headers must produce an ERROR CODE, never a
+// crash: a zero bits_per_sample would divide by zero, an absurd declared
+// chunk size would throw bad_alloc across the C ABI (aborting the OpenMP
+// batch loader), and a short fmt chunk would read past its buffer.
+int parse_wav(const char* path, WavData* out) try {
   FILE* f = std::fopen(path, "rb");
   if (!f) return 1;
   uint8_t hdr[12];
@@ -40,6 +43,10 @@ int parse_wav(const char* path, WavData* out) {
     std::fclose(f);
     return 2;
   }
+  // declared chunk sizes are bounded by what is actually in the file
+  std::fseek(f, 0, SEEK_END);
+  const long file_size = std::ftell(f);
+  std::fseek(f, 12, SEEK_SET);
   uint16_t fmt = 0, channels = 0, bits = 0;
   uint32_t rate = 0;
   bool have_fmt = false;
@@ -47,7 +54,13 @@ int parse_wav(const char* path, WavData* out) {
     uint8_t chunk[8];
     if (std::fread(chunk, 1, 8, f) != 8) break;
     uint32_t size = rd_u32(chunk + 4);
+    const long pos = std::ftell(f);
+    if (pos < 0 || (long)size > file_size - pos) size = (uint32_t)(file_size - pos);
     if (std::memcmp(chunk, "fmt ", 4) == 0) {
+      if (size < 16) {  // canonical fmt chunk is at least 16 bytes
+        std::fclose(f);
+        return 3;
+      }
       std::vector<uint8_t> buf(size);
       if (std::fread(buf.data(), 1, size, f) != size) break;
       fmt = rd_u16(buf.data());
@@ -57,7 +70,8 @@ int parse_wav(const char* path, WavData* out) {
       if (fmt == 0xFFFE && size >= 40) fmt = rd_u16(buf.data() + 24);  // extensible
       have_fmt = true;
     } else if (std::memcmp(chunk, "data", 4) == 0) {
-      if (!have_fmt || channels == 0) {
+      if (!have_fmt || channels == 0 ||
+          (bits != 8 && bits != 16 && bits != 24 && bits != 32)) {
         std::fclose(f);
         return 3;
       }
@@ -103,6 +117,8 @@ int parse_wav(const char* path, WavData* out) {
   }
   std::fclose(f);
   return 4;
+} catch (...) {
+  return 5;  // allocation or other internal failure: error code, not a throw
 }
 
 // polyphase windowed-sinc resampler (Kaiser-windowed, zeros-per-crossing 16)
@@ -168,12 +184,12 @@ extern "C" {
 // Reads a wav file; on success fills *n_samples/*sample_rate and returns a
 // malloc'd float buffer the caller frees with mts_free. Returns null on error.
 float* mts_read_wav(const char* path, int64_t* n_samples, int* sample_rate,
-                    int target_sr) {
+                    int target_sr) try {
   WavData wav;
   if (parse_wav(path, &wav) != 0) return nullptr;
   std::vector<float> samples = std::move(wav.samples);
   int sr = wav.sample_rate;
-  if (target_sr > 0 && sr != target_sr) {
+  if (target_sr > 0 && sr > 0 && sr != target_sr) {
     samples = resample(samples, sr, target_sr);
     sr = target_sr;
   }
@@ -183,10 +199,12 @@ float* mts_read_wav(const char* path, int64_t* n_samples, int* sample_rate,
   *n_samples = (int64_t)samples.size();
   *sample_rate = sr;
   return out;
+} catch (...) {
+  return nullptr;
 }
 
 float* mts_resample(const float* x, int64_t n, int sr_in, int sr_out,
-                    int64_t* n_out) {
+                    int64_t* n_out) try {
   std::vector<float> in(x, x + n);
   std::vector<float> y = resample(in, sr_in, sr_out);
   float* out = (float*)std::malloc(y.size() * sizeof(float));
@@ -194,6 +212,8 @@ float* mts_resample(const float* x, int64_t n, int sr_in, int sr_out,
   std::memcpy(out, y.data(), y.size() * sizeof(float));
   *n_out = (int64_t)y.size();
   return out;
+} catch (...) {
+  return nullptr;
 }
 
 void mts_free(float* p) { std::free(p); }

@@ -56,15 +56,19 @@ def load_audio(path: str, target_sr: int = 16000) -> Tuple[np.ndarray, int]:
 
 
 def _to_float_mono(data: np.ndarray) -> np.ndarray:
+    # scale by the INTEGER dtype first: channel averaging promotes to
+    # float64 and would silently skip the scaling for multi-channel files
+    if data.dtype == np.int16:
+        data = data.astype(np.float32) / 32768.0
+    elif data.dtype == np.int32:
+        data = data.astype(np.float32) / 2147483648.0
+    elif data.dtype == np.uint8:
+        data = (data.astype(np.float32) - 128.0) / 128.0
+    else:
+        data = data.astype(np.float32)
     if data.ndim == 2:
         data = data.mean(axis=1)
-    if data.dtype == np.int16:
-        return data.astype(np.float32) / 32768.0
-    if data.dtype == np.int32:
-        return data.astype(np.float32) / 2147483648.0
-    if data.dtype == np.uint8:
-        return (data.astype(np.float32) - 128.0) / 128.0
-    return data.astype(np.float32)
+    return data
 
 
 def resample(audio: np.ndarray, sr: int, target_sr: int) -> np.ndarray:

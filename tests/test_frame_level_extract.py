@@ -59,3 +59,32 @@ def test_wav2vec_engine_chunking(monkeypatch):
         assert a.shape == b.shape
         assert a.shape[0] == W.feature_extractor_output_length(enc.cfg, e - s)
         np.testing.assert_allclose(a, b, atol=2e-4)
+
+
+def test_continue_from_check_frame_level(tmp_path, monkeypatch):
+    """--continue_from_check must recognize already-extracted documents for
+    FRAME-LEVEL encoders, whose outputs live in the pooling subdirs."""
+    from tests.test_audio_end_to_end import make_audio_corpus
+    from multimodaltopicsegmentation_tpu.cli.extract_embeddings import (
+        build_parser,
+        main,
+    )
+
+    monkeypatch.setenv("MTS_RANDOM_ENCODER_WEIGHTS", "1")
+    audio_dir, data_dir, lab_path = make_audio_corpus(str(tmp_path), n_docs=2)
+    emb_dir = str(tmp_path / "emb")
+    lab_out = str(tmp_path / "labs")
+    argv = [
+        "-data", data_dir, "-audio", audio_dir, "-od", emb_dir,
+        "-lab", lab_path, "-lod", lab_out, "--wav2vec", "-vd", "-ui", "2.0",
+        "-cont",
+    ]
+    main(build_parser().parse_args(argv))
+    mean_dir = os.path.join(emb_dir, "_mean")
+    first = {f: os.path.getmtime(os.path.join(mean_dir, f))
+             for f in os.listdir(mean_dir)}
+    assert first
+    main(build_parser().parse_args(argv))  # second run: everything skipped
+    second = {f: os.path.getmtime(os.path.join(mean_dir, f))
+              for f in os.listdir(mean_dir)}
+    assert first == second

@@ -63,3 +63,66 @@ def test_batch_loader(lib_ok, tmp_path):
         solo, _ = audio_native.read_wav(paths[i], target_sr=16000)
         np.testing.assert_array_equal(a, solo)
     assert results[6] == (None, 0)
+
+
+def test_corrupt_wavs_error_cleanly(tmp_path):
+    """Corrupt headers must produce clean Python errors (or a clamped
+    decode), never a crash through the C ABI."""
+    import struct
+
+    from multimodaltopicsegmentation_tpu.runtime import audio_native as nat
+
+    if not nat.available():
+        pytest.skip("native lib unavailable")
+
+    zero_bits = tmp_path / "zero_bits.wav"
+    zero_bits.write_bytes(
+        b"RIFF" + struct.pack("<I", 36) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 16000, 32000, 2, 0)
+        + b"data" + struct.pack("<I", 8) + b"\x00" * 8
+    )
+    with pytest.raises(RuntimeError):
+        nat.read_wav(str(zero_bits))
+
+    short_fmt = tmp_path / "short_fmt.wav"
+    short_fmt.write_bytes(
+        b"RIFF" + struct.pack("<I", 20) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 4) + b"\x01\x00\x01\x00"
+    )
+    with pytest.raises(RuntimeError):
+        nat.read_wav(str(short_fmt))
+
+    # declared data size far beyond the file: clamp to what exists
+    huge = tmp_path / "huge.wav"
+    huge.write_bytes(
+        b"RIFF" + struct.pack("<I", 36) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 16000, 32000, 2, 16)
+        + b"data" + struct.pack("<I", 0xFFFFFFF0) + b"\x00" * 8
+    )
+    audio, sr = nat.read_wav(str(huge))
+    assert len(audio) == 4 and sr == 16000
+
+
+def test_stereo_integer_wav_scaling(tmp_path):
+    """Multi-channel 16-bit PCM must be scaled to [-1, 1] on BOTH decode
+    paths (scipy's fallback previously averaged channels into float64 first
+    and skipped the integer scaling)."""
+    from scipy.io import wavfile
+
+    from multimodaltopicsegmentation_tpu.utils.audio import _to_float_mono, load_audio
+
+    sr = 16000
+    t = np.arange(sr) / sr
+    left = (0.5 * np.sin(2 * np.pi * 220 * t) * 32767).astype(np.int16)
+    right = (0.25 * np.sin(2 * np.pi * 220 * t) * 32767).astype(np.int16)
+    stereo = np.stack([left, right], axis=1)
+    path = str(tmp_path / "stereo.wav")
+    wavfile.write(path, sr, stereo)
+
+    mono = _to_float_mono(stereo)
+    assert np.max(np.abs(mono)) < 1.0
+    np.testing.assert_allclose(
+        mono, (left / 32768.0 + right / 32768.0) / 2, atol=1e-6
+    )
+    audio, _ = load_audio(path, target_sr=sr)
+    assert np.max(np.abs(audio)) < 1.0

@@ -341,3 +341,26 @@ def test_convert_unidirectional_lstm(tmp_path, rng):
     tags = np.asarray(tags)
     for b, n in enumerate(lengths):
         np.testing.assert_array_equal(tags[b][:n], probs[b][:n] > 0.5)
+
+
+def test_predict_rejects_multi_input_architectures(tmp_path):
+    """Architectures needing extra per-document inputs must fail clearly
+    BEFORE any embedding extraction (reference gates them the same way,
+    predict.py:218-225)."""
+    from multimodaltopicsegmentation_tpu.models.base import TaggerConfig
+    from multimodaltopicsegmentation_tpu.models.registry import build
+    from multimodaltopicsegmentation_tpu.train import checkpoints as ckpt_lib
+    import multimodaltopicsegmentation_tpu.cli.predict as P
+
+    cfg = TaggerConfig(embedding_dim=8, hidden_dim=4, num_layers=1,
+                       loss_fn="FocalLoss")
+    arch = build("SwitchBiLSTM", cfg)
+    ckpt = str(tmp_path / "best_model")
+    ckpt_lib.save(ckpt, arch.init(jax.random.PRNGKey(0)), cfg, "SwitchBiLSTM")
+    results_txt = tmp_path / "results.txt"
+    results_txt.write_text(
+        "Sentence encoder: mfcc\nNeural architecture: SwitchBiLSTM\n"
+        "Hidden units: 4\nNumber of layers: 1\n"
+    )
+    with pytest.raises(NotImplementedError, match="SwitchBiLSTM"):
+        P.Predictor(str(results_txt), ckpt, threshold=0.5)

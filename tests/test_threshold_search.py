@@ -1,5 +1,6 @@
 """Working -sth threshold search on validation documents."""
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -31,3 +32,38 @@ def test_threshold_search_returns_candidate(tmp_path):
     tr.threshold = th
     res_searched, _, _ = tr.test(params, vb)
     assert res_searched["test_loss"] <= res_default["test_loss"] + 1e-9
+
+
+@pytest.mark.slow
+def test_sth_f1_selection_end_to_end(tmp_path):
+    """-sth with a MAXIMIZED metric must actually select a best config
+    (round-2 review finding: the reference-mirrored '<' comparison against
+    an init of 0 never fired, leaving best_model unwritten and results.txt
+    with 'Hidden units: None')."""
+    import json
+    import os
+
+    from tests.synth import make_synthetic_corpus
+    import multimodaltopicsegmentation_tpu.cli.train_fit as tf
+
+    emb_dir, lab_file, split = make_synthetic_corpus(str(tmp_path / "c"), n_docs=10, dim=20)
+    tf.EMBEDDING_SIZES["CNN"] = 20
+    exp = str(tmp_path / "exp")
+    cwd = os.getcwd()
+    args = tf.build_parser().parse_args([
+        "-exp", exp, "-arc", "BiLSTM", "-enc", "CNN",
+        "-ef", emb_dir, "-lf", lab_file, "-lr", "1e-2",
+        "-bs", "4", "-max", "4", "-vp", "0.2", "-pat", "3",
+        "-loss", "FocalLoss", "-ar", "-as", "-split", split,
+        "-hs", "-huss", "12", "-nlss", "1", "-diss", "0.0", "0.3", "-doss", "0.0",
+        "-sth", "--metric", "F1",
+    ])
+    try:
+        tf.main(args)
+    finally:
+        os.chdir(cwd)
+    txt = open(os.path.join(exp, "results.txt")).read()
+    assert "Hidden units: 12" in txt, txt
+    assert os.path.exists(os.path.join(exp, "checkpoints", "best_model"))
+    with open(os.path.join(exp, "all_results.json")) as f:
+        assert json.load(f)
