@@ -30,7 +30,13 @@ def checkpoint_name(epoch: int, monitored: float, threshold: float = 0.5) -> str
 
 
 def parse_checkpoint_name(path: str) -> Tuple[float, float]:
-    """-> (threshold, val_loss), reference parse (train_fit.py:337-338)."""
+    """-> (threshold, val_loss), reference parse (train_fit.py:337-338).
+
+    The `final=0.500.ckpt` shape this module also writes has no epoch/loss
+    fields — the split-based parse would choke on it, so it short-circuits
+    to the save-last defaults."""
+    if os.path.basename(path).startswith("final="):
+        return 0.5, 0.5
     threshold = float(path.split("=")[-1][:4])
     val_loss = float(path.split("=")[-2][:6])
     return threshold, val_loss

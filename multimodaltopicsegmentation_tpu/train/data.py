@@ -90,6 +90,10 @@ def load_dataset_from_precomputed(
     # document order (hence batch composition) depend on this, so the
     # listdir bound, the skip-before-pop behavior for artifact/excluded
     # entries, and the reversed consumption order are all kept.
+    # DELIBERATE DIVERGENCE: the reference iterates os.listdir unsorted
+    # (filesystem order — irreproducible across machines); sorting makes
+    # k-fold membership deterministic. Standard-split runs are unaffected
+    # (membership comes from the split lists, listdir only bounds the loop).
     phase = 0  # 0=train, 1=test, 2=validation (standard split only)
     for file in sorted(os.listdir(directories[0])):
         if file.endswith(":Zone.Identifier"):

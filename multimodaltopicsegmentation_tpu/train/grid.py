@@ -196,6 +196,8 @@ class GridTrainer:
                     else val_loss
                 )
                 for g in range(G):
+                    if stopped[g]:
+                        continue  # a serial run would have ended at the stop epoch
                     self.histories[g].append(
                         {
                             "epoch": epoch,

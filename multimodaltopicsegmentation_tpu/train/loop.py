@@ -489,16 +489,24 @@ class Trainer:
         """
         candidates = [0.05, 0.1, 0.2, 0.3, 0.4, 0.5, 0.6]
         arch = self.arch
-        decode_scores = jax.jit(lambda p, x, l: arch.decode(p, x, l, 0.5)[0])
+        if self.domain:
+            decode_scores = jax.jit(lambda p, x, l, d: arch.decode(p, x, l, d, 0.5)[0])
+        elif self.double:
+            decode_scores = jax.jit(lambda p, x, l, x2: arch.decode(p, x, l, 0.5, x2=x2)[0])
+        else:
+            decode_scores = jax.jit(lambda p, x, l: arch.decode(p, x, l, 0.5)[0])
         docs = []
         for batch in valid_batches:
-            scores = np.asarray(
-                decode_scores(
-                    params,
-                    jnp.asarray(batch["src_tokens"]),
-                    jnp.asarray(batch["src_lengths"]),
-                )
-            )
+            args = [
+                params,
+                jnp.asarray(batch["src_tokens"]),
+                jnp.asarray(batch["src_lengths"]),
+            ]
+            if self.domain:
+                args.append(jnp.asarray(batch["domain"]))
+            elif self.double:
+                args.append(jnp.asarray(batch["src_tokens2"]))
+            scores = np.asarray(decode_scores(*args))
             if scores.ndim == 1:
                 # CRF decode: one Viterbi score per doc, no threshold to
                 # search — keep the reference default
@@ -519,6 +527,8 @@ class Trainer:
                     prob = 1.0 / (1.0 + np.exp(-s))
                 docs.append((prob, t))
 
+        # candidates are scored on the MONITORED metric itself: Pk/WD
+        # minimize; F1, B-similarity, and WinPR-F1 maximize
         minimize = self.metric in ("Pk", "WD")
         best_th, best_val = 0.5, float("inf") if minimize else -float("inf")
         for th in candidates:
@@ -532,6 +542,10 @@ class Trainer:
                         vals.append(M.compute_window_diff(pred.tolist(), t.tolist()))
                     except AssertionError:
                         vals.append(M.compute_Pk(pred.tolist(), t.tolist()))
+                elif self.metric.lower() == "b":
+                    vals.append(M.b_measure(pred.tolist(), t.tolist())[3])
+                elif self.metric.lower() == "scaiano":
+                    vals.append(M.win_pr(pred.tolist(), t.tolist())[2])
                 else:
                     vals.append(M.compute_Pk(pred.tolist(), t.tolist()))
             v = float(np.mean(vals)) if vals else (1.0 if minimize else 0.0)

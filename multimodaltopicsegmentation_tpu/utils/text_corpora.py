@@ -29,16 +29,24 @@ _MISSING_STOP_PUNCT = re.compile(r"[^.!?]\s*$")
 _SENT_SPLIT = re.compile(r"(?<=[.!?])\s+")
 
 
+_PUNKT_AVAILABLE = None  # decided once: nltk's data-path scan is expensive
+
+
 def split_sentences(text: str) -> List[str]:
     """Sentence splitting: nltk punkt when importable, regex otherwise
     (text_manipulation.py:80-99 uses punkt; the fallback keeps the same
     segment structure for well-punctuated corpora)."""
-    try:
-        import nltk
+    global _PUNKT_AVAILABLE
+    if _PUNKT_AVAILABLE is not False:
+        try:
+            import nltk
 
-        return nltk.tokenize.sent_tokenize(text)
-    except Exception:
-        return [s for s in _SENT_SPLIT.split(text.strip()) if s]
+            out = nltk.tokenize.sent_tokenize(text)
+            _PUNKT_AVAILABLE = True
+            return out
+        except Exception:
+            _PUNKT_AVAILABLE = False
+    return [s for s in _SENT_SPLIT.split(text.strip()) if s]
 
 
 def extract_sentence_words(
@@ -66,24 +74,31 @@ def load_choi_document(path: str) -> Tuple[List[str], List[int]]:
     return sentences, labels
 
 
-def load_choi_corpus(root: str):
+def load_choi_corpus(root: str, delete_last_sentence: bool = False):
     files = sorted(glob(os.path.join(root, "**", "*.ref"), recursive=True))
     docs = []
     for path in files:
         sents, labels = load_choi_document(path)
+        if delete_last_sentence and sents:
+            sents, labels = _drop_boundary_sentences(sents, labels)
         if sents:
             docs.append((sents, labels, path))
     return docs
 
 
 def _wiki_sections(text: str, high_granularity: bool = True) -> List[str]:
-    """Split a wiki-727 file into sections on separator lines."""
+    """Split a wiki-727 file into sections on separator lines.
+
+    Low granularity splits only on level-1/2 separators; DEEPER separator
+    lines are deleted outright (the reference strips them with re.sub
+    before splitting, wiki_loader_sentences.py:45-49) — they must never
+    surface as content sentences."""
     sections: List[List[str]] = [[]]
     for line in text.splitlines():
         if WIKI_SEPARATOR.match(line.strip()):
-            if high_granularity or line.strip().startswith("========,1,") or line.strip().startswith("========,2,"):
+            if high_granularity or line.strip().startswith(("========,1,", "========,2,")):
                 sections.append([])
-                continue
+            continue
         sections[-1].append(line)
     return ["\n".join(s).strip() for s in sections if "\n".join(s).strip()]
 
@@ -113,7 +128,7 @@ def load_wiki_document(
     return sentences, labels
 
 
-def load_wiki_corpus(root: str, **kwargs):
+def load_wiki_corpus(root: str, delete_last_sentence: bool = False, **kwargs):
     files = sorted(
         p for p in glob(os.path.join(root, "**", "*"), recursive=True)
         if os.path.isfile(p) and not p.endswith((".pkl", ".json"))
@@ -121,6 +136,8 @@ def load_wiki_corpus(root: str, **kwargs):
     docs = []
     for path in files:
         sents, labels = load_wiki_document(path, **kwargs)
+        if delete_last_sentence and sents:
+            sents, labels = _drop_boundary_sentences(sents, labels)
         if sents:
             docs.append((sents, labels, path))
     return docs
@@ -148,6 +165,26 @@ def _segments_to_doc(segment_texts: List[str], delete_last_sentence: bool = Fals
         ends.append(len(sentences) - 1)
     ends = [e for e in ends if e >= 0]
     return sentences, (expand_label(ends, sentences) if sentences else [])
+
+
+def _drop_boundary_sentences(sentences: List[str], labels: List[int]):
+    """The reference's delete_last_sentence for dense-labelled documents
+    (utils/load_datasets.py:170-181): walk all but the final sentence,
+    DROP each boundary sentence and move its boundary to the previously
+    kept sentence, then force a final boundary. A leading boundary yields
+    index -1, which expand_label applies to the LAST sentence — the
+    reference's negative-index quirk, kept."""
+    kept: List[str] = []
+    ends: List[int] = []
+    for idx, sent in enumerate(sentences[:-1]):
+        if labels[idx]:
+            ends.append(len(kept) - 1)
+        else:
+            kept.append(sent)
+    ends.append(len(kept) - 1)
+    if not kept:
+        return [], []
+    return kept, expand_label(ends, kept)
 
 
 def load_bbc_corpus(root: str, delete_last_sentence: bool = False):
@@ -288,9 +325,9 @@ def load_text_dataset(name: str, root: str, **kwargs):
     (utils/load_datasets.py load_dataset branches)."""
     name = name.lower()
     if name == "choi":
-        return load_choi_corpus(root)
+        return load_choi_corpus(root, **kwargs)
     if name in ("wiki", "wiki727", "wikisection"):
-        return load_wiki_corpus(root)
+        return load_wiki_corpus(root, **kwargs)
     if name == "bbc":
         return load_bbc_corpus(root, **kwargs)
     if name == "bbcaudio":

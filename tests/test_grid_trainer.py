@@ -205,3 +205,16 @@ def test_parallel_grid_cli_kfold_matches_serial(tmp_path):
         sl = [l for l in s_res.splitlines() if l.startswith(line)]
         pl = [l for l in p_res.splitlines() if l.startswith(line)]
         assert sl == pl, (sl, pl)
+
+
+def test_grid_history_length_matches_serial(tmp_path, data):
+    """Histories must END at each config's early-stop epoch (zip-based
+    comparisons hid extra phantom epochs)."""
+    train, valid = data
+    cfg = TaggerConfig(embedding_dim=12, hidden_dim=8, num_layers=1, loss_fn="FocalLoss")
+    gt = GridTrainer("BiLSTM", cfg, GRID, lr=1e-2, max_epochs=12, patience=1,
+                     monitor="val_loss", check_dir=str(tmp_path / "grid"), seed=42)
+    gt.fit([dict(b) for b in train], [dict(b) for b in valid])
+    for g, (din, dout) in enumerate(GRID):
+        st = _serial(tmp_path, din, dout, train, valid, patience=1, max_epochs=12)
+        assert len(gt.histories[g]) == len(st.history), (g, len(gt.histories[g]), len(st.history))

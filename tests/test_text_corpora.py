@@ -165,3 +165,40 @@ def test_dispatch_names(tmp_path):
     assert len(load_text_dataset("icsi", str(tmp_path))) == 1
     with pytest.raises(ValueError):
         load_text_dataset("nope", str(tmp_path))
+
+
+def test_wiki_low_granularity_drops_deep_separators(tmp_path):
+    (tmp_path / "doc.txt").write_text(
+        "========,1,Preface.\npre one.\n"
+        "========,1,Alpha.\na one.\na two.\n"
+        "========,3,Deep.\na three.\n"
+        "========,2,Beta.\nb one.\n"
+    )
+    from multimodaltopicsegmentation_tpu.utils.text_corpora import load_wiki_document
+
+    sents, labels = load_wiki_document(
+        str(tmp_path / "doc.txt"), remove_preface_segment=True, high_granularity=False
+    )
+    # the level-3 separator must NOT appear as content; its sentences merge
+    # into the Alpha section
+    assert all(not s.startswith("====") for s in sents), sents
+    assert sents == ["a one.", "a two.", "a three.", "b one."]
+    assert labels == [0, 0, 1, 1]
+
+
+def test_delete_last_sentence_choi(tmp_path):
+    (tmp_path / "d.ref").write_text(
+        "==========\ns1.\ns2.\ns3.\n==========\ns4.\ns5.\n==========\n"
+    )
+    from multimodaltopicsegmentation_tpu.utils.text_corpora import load_choi_corpus
+
+    docs = load_choi_corpus(str(tmp_path))
+    assert docs[0][0] == ["s1.", "s2.", "s3.", "s4.", "s5."]
+    assert docs[0][1] == [0, 0, 1, 0, 1]
+
+    dropped = load_choi_corpus(str(tmp_path), delete_last_sentence=True)
+    # boundary sentences s3 and the final s5 are dropped; the boundary moves
+    # to the previously kept sentence (reference load_datasets.py:170-181)
+    sents, labels = dropped[0][0], dropped[0][1]
+    assert sents == ["s1.", "s2.", "s4."]
+    assert labels == [0, 1, 1]

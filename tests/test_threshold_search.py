@@ -67,3 +67,36 @@ def test_sth_f1_selection_end_to_end(tmp_path):
     assert os.path.exists(os.path.join(exp, "checkpoints", "best_model"))
     with open(os.path.join(exp, "all_results.json")) as f:
         assert json.load(f)
+
+
+@pytest.mark.parametrize("metric", ["b", "scaiano"])
+def test_search_threshold_maximizes_b_metrics(tmp_path, metric):
+    """For B/WinPR the search must score the ACTUAL metric and maximize
+    (round-2 review: it scored Pk but took the argmax — the worst threshold)."""
+    from multimodaltopicsegmentation_tpu.eval import metrics as M
+    from multimodaltopicsegmentation_tpu.train.loop import Trainer
+
+    rng = np.random.default_rng(0)
+    cfg = TaggerConfig(embedding_dim=10, hidden_dim=8, num_layers=1, loss_fn="FocalLoss")
+    t = Trainer("BiLSTM", cfg, metric=metric, check_dir=str(tmp_path / "ck"))
+    params = t.arch.init(jax.random.PRNGKey(0))
+    batch = {
+        "src_tokens": rng.standard_normal((3, 30, 10)).astype(np.float32),
+        "tgt_tokens": (rng.random((3, 30)) < 0.2).astype(np.float32),
+        "src_lengths": np.full((3,), 30, np.int32),
+        "n_real": 3,
+    }
+    th, val = t.search_threshold(params, [batch])
+    # recompute the metric at every candidate; the returned one must be best
+    scores, _ = t.arch.decode(params, batch["src_tokens"], batch["src_lengths"], 0.5)
+    probs = 1 / (1 + np.exp(-np.asarray(scores)[:, :, 0]))
+    def metric_at(c):
+        vals = []
+        for i in range(3):
+            pred = (probs[i] > c).astype(int).tolist()
+            tgt = batch["tgt_tokens"][i].astype(int).tolist()
+            vals.append(M.b_measure(pred, tgt)[3] if metric == "b" else M.win_pr(pred, tgt)[2])
+        return float(np.mean(vals))
+    all_vals = {c: metric_at(c) for c in [0.05, 0.1, 0.2, 0.3, 0.4, 0.5, 0.6]}
+    assert val == pytest.approx(max(all_vals.values()))
+    assert metric_at(th) == pytest.approx(max(all_vals.values()))
