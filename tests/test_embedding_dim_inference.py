@@ -1,6 +1,8 @@
 """Encoder-name -> dimension inference (train_fit.py:245-276 quirks)."""
 import pytest
 
+import numpy as np
+
 from multimodaltopicsegmentation_tpu.cli.train_fit import infer_embedding_dim
 
 
@@ -41,3 +43,30 @@ def test_pca_overrides():
 def test_unknown_encoder_raises():
     with pytest.raises(ValueError, match="not recognised"):
         infer_embedding_dim("made-up-encoder")
+
+
+def test_apply_pca_fits_on_train_only(rng):
+    """PCA components come from the TRAIN docs and the same projection is
+    reused on valid/test (reference EncoderDataset.py:51-70, with its
+    index-accumulation defect fixed)."""
+    from sklearn.decomposition import PCA
+
+    from multimodaltopicsegmentation_tpu.cli.train_fit import apply_pca
+
+    train = [(rng.standard_normal((20, 12)).astype(np.float32), [0] * 20, f"t{i}")
+             for i in range(3)]
+    valid = [(rng.standard_normal((9, 12)).astype(np.float32), [0] * 9, "v0")]
+    test = [(rng.standard_normal((7, 12)).astype(np.float32), [0] * 7, "x0")]
+
+    ptrain, (pvalid, ptest) = apply_pca(train, [valid, test], n_components=4)
+    assert all(d[0].shape == (20, 4) for d in ptrain)
+    assert pvalid[0][0].shape == (9, 4) and ptest[0][0].shape == (7, 4)
+    # labels and names pass through untouched
+    assert ptrain[0][1] == train[0][1] and ptrain[0][2] == "t0"
+
+    # the projection must equal sklearn PCA fit on the concatenated TRAIN
+    # embeddings applied to the valid doc
+    ref = PCA(n_components=4).fit(np.concatenate([d[0] for d in train]))
+    np.testing.assert_allclose(
+        pvalid[0][0], ref.transform(valid[0][0]).astype(np.float32), atol=1e-4
+    )
