@@ -120,6 +120,27 @@ def vad_posteriors(audio: np.ndarray, sr: int) -> np.ndarray:
     return 1.0 / (1.0 + np.exp(-(e - mid) / scale))
 
 
+_CRDNN_CACHE: dict = {}
+
+
+def default_posteriors(audio: np.ndarray, sr: int) -> np.ndarray:
+    """Posterior source dispatch: the CRDNN network when converted weights
+    are available (MTS_VAD_WEIGHTS=path/to/vad.npz, produced by
+    tools/convert_weights.py crdnn_vad — the reference's neural VAD,
+    extract_embeddings.py:116-118), else the built-in energy logistic."""
+    import os
+
+    path = os.environ.get("MTS_VAD_WEIGHTS")
+    if not path:
+        return vad_posteriors(audio, sr)
+    from ..encoders import crdnn_vad
+
+    if path not in _CRDNN_CACHE:
+        _CRDNN_CACHE.clear()  # one set of VAD weights per process is plenty
+        _CRDNN_CACHE[path] = crdnn_vad.load_npz(path)
+    return crdnn_vad.posteriors(_CRDNN_CACHE[path], audio, sr)
+
+
 def apply_threshold(
     post: np.ndarray, activation_th: float = 0.5, deactivation_th: float = 0.25
 ) -> np.ndarray:
@@ -234,7 +255,7 @@ def get_speech_segments(
     invokes it (extract_embeddings.py:303): posterior hysteresis ->
     [energy double check] -> merge close -> drop short -> posterior re-check.
     """
-    post = vad_posteriors(audio, sr) if posteriors is None else np.asarray(posteriors)
+    post = default_posteriors(audio, sr) if posteriors is None else np.asarray(posteriors)
     active = apply_threshold(post, activation_th, deactivation_th)
     spans = _binary_to_spans(active, TIME_RESOLUTION)
     if apply_energy_VAD:

@@ -349,3 +349,141 @@ def test_ecapa_matches_torch_replica(tmp_path, rng):
     params = tdnn.ecapa_load_npz(str(tmp_path / "e.npz"))
     ours = tdnn.ecapa_apply(params, jnp.asarray(feats), jnp.ones((T,), jnp.float32))
     np.testing.assert_allclose(np.asarray(ours), ref.numpy(), atol=2e-4, rtol=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# CRDNN VAD (speechbrain/vad-crdnn-libriparty layout)
+# ---------------------------------------------------------------------------
+
+
+def _fake_crdnn_state_dicts(rng, n_mels=8, channels=(4, 6), H=5, dnn_neurons=7):
+    """Torch replica of the SpeechBrain VAD module chain with the wrapper
+    key nesting the converter expects (Conv2d -> .conv, LayerNorm/BatchNorm
+    -> .norm, Linear -> .w), returning (cnn_sd, rnn_sd, dnn_sd, forward)."""
+    import torch
+    import torch.nn.functional as F
+
+    torch.manual_seed(int(rng.integers(1 << 30)))
+    cnn_sd, f, cin = {}, n_mels, 1
+    for i, cout in enumerate(channels):
+        cnn_sd[f"block_{i}.conv.conv.weight"] = 0.3 * torch.randn(cout, cin, 3, 3)
+        cnn_sd[f"block_{i}.conv.conv.bias"] = 0.1 * torch.randn(cout)
+        cnn_sd[f"block_{i}.norm.norm.weight"] = 1.0 + 0.1 * torch.randn(f, cout)
+        cnn_sd[f"block_{i}.norm.norm.bias"] = 0.1 * torch.randn(f, cout)
+        f, cin = f // 2, cout
+
+    rnn = torch.nn.LSTM(f * cin, H, num_layers=2, batch_first=True, bidirectional=True)
+    rnn_sd = {f"rnn.{k}": v.detach().clone() for k, v in rnn.state_dict().items()}
+
+    dnn_sd = {
+        "block_0.w.weight": 0.3 * torch.randn(dnn_neurons, 2 * H),
+        "block_0.w.bias": 0.1 * torch.randn(dnn_neurons),
+        "block_0.norm.weight": 1.0 + 0.1 * torch.randn(dnn_neurons),
+        "block_0.norm.bias": 0.1 * torch.randn(dnn_neurons),
+        "block_0.norm.running_mean": 0.1 * torch.randn(dnn_neurons),
+        "block_0.norm.running_var": 1.0 + 0.1 * torch.rand(dnn_neurons),
+        "block_0.norm.num_batches_tracked": torch.tensor(0),
+        "out.w.weight": 0.3 * torch.randn(1, dnn_neurons),
+        "out.w.bias": 0.1 * torch.randn(1),
+    }
+
+    def forward(feats):
+        """feats [B, T, n_mels] -> [B, T] probabilities (eval semantics)."""
+        with torch.no_grad():
+            x = torch.as_tensor(feats)[..., None]  # [B, T, F, 1]
+            for i in range(len(channels)):
+                x = F.conv2d(
+                    x.permute(0, 3, 1, 2),
+                    cnn_sd[f"block_{i}.conv.conv.weight"],
+                    cnn_sd[f"block_{i}.conv.conv.bias"],
+                    padding="same",
+                ).permute(0, 2, 3, 1)
+                x = F.layer_norm(
+                    x, x.shape[-2:],
+                    cnn_sd[f"block_{i}.norm.norm.weight"],
+                    cnn_sd[f"block_{i}.norm.norm.bias"],
+                )
+                x = F.leaky_relu(x, 0.01)
+                B, T, Fr, C = x.shape
+                x = x.reshape(B, T, Fr // 2, 2, C).amax(3)
+            B, T = x.shape[:2]
+            x = x.reshape(B, T, -1)
+            x, _ = rnn(x)
+            x = x @ dnn_sd["block_0.w.weight"].T + dnn_sd["block_0.w.bias"]
+            x = F.batch_norm(
+                x.reshape(B * T, -1),
+                dnn_sd["block_0.norm.running_mean"],
+                dnn_sd["block_0.norm.running_var"],
+                dnn_sd["block_0.norm.weight"],
+                dnn_sd["block_0.norm.bias"],
+                training=False,
+            ).reshape(B, T, -1)
+            x = F.leaky_relu(x, 0.01)
+            x = x @ dnn_sd["out.w.weight"].T + dnn_sd["out.w.bias"]
+            return torch.sigmoid(x[..., 0]).numpy()
+
+    return cnn_sd, rnn_sd, dnn_sd, forward
+
+
+def test_crdnn_vad_torch_parity(tmp_path, rng):
+    """Converted SpeechBrain-layout weights must reproduce the torch stack's
+    posteriors exactly (the numeric-parity evidence for the JAX forward)."""
+    from convert_weights import map_crdnn_vad_state_dicts
+
+    from multimodaltopicsegmentation_tpu.encoders import crdnn_vad
+
+    cnn_sd, rnn_sd, dnn_sd, torch_forward = _fake_crdnn_state_dicts(rng)
+    feats = rng.standard_normal((2, 20, 8)).astype(np.float32)
+    ref = torch_forward(feats)
+
+    arrays = map_crdnn_vad_state_dicts(
+        {k: v.numpy() for k, v in cnn_sd.items()},
+        {k: v.numpy() for k, v in rnn_sd.items()},
+        {k: v.numpy() for k, v in dnn_sd.items()},
+    )
+    out = str(tmp_path / "vad.npz")
+    np.savez(out, **arrays)
+    params = crdnn_vad.load_npz(out)
+    ours = np.asarray(crdnn_vad.apply(params, jnp.asarray(feats)))
+    np.testing.assert_allclose(ours, ref, atol=1e-5, rtol=1e-5)
+
+
+def test_crdnn_vad_padded_apply_matches_unpadded(rng):
+    """Frame-axis padding + lengths (what posteriors() does to bound XLA
+    recompiles) must not change the valid region: per-block re-zeroing makes
+    the padded conv see exactly the unpadded 'SAME' zero halo."""
+    from multimodaltopicsegmentation_tpu.encoders import crdnn_vad
+
+    params = crdnn_vad.random_params(jax.random.PRNGKey(0), n_mels=8)
+    feats = rng.standard_normal((1, 30, 8)).astype(np.float32)
+    plain = np.asarray(crdnn_vad.apply(params, jnp.asarray(feats)))[0]
+    padded = np.pad(feats, ((0, 0), (0, 10), (0, 0)))
+    out = np.asarray(
+        crdnn_vad.apply(params, jnp.asarray(padded), lengths=jnp.asarray([30]))
+    )[0, :30]
+    np.testing.assert_allclose(out, plain, atol=1e-6, rtol=1e-6)
+
+
+def test_crdnn_vad_posteriors_and_segments(tmp_path, rng, monkeypatch):
+    """MTS_VAD_WEIGHTS routes the full VAD pipeline through the CRDNN."""
+    from multimodaltopicsegmentation_tpu.dsp import vad
+    from multimodaltopicsegmentation_tpu.encoders import crdnn_vad
+
+    params = crdnn_vad.random_params(jax.random.PRNGKey(1))
+    out = str(tmp_path / "vad.npz")
+    np.savez(out, **{k: np.asarray(v) for k, v in params.items()})
+
+    sr = 16000
+    audio = (0.1 * rng.standard_normal(3 * sr)).astype(np.float32)
+    post = crdnn_vad.posteriors(crdnn_vad.load_npz(out), audio, sr)
+    assert post.shape == (3 * sr // 160 + 1,)
+    assert np.all((post >= 0) & (post <= 1))
+
+    monkeypatch.setenv("MTS_VAD_WEIGHTS", out)
+    vad._CRDNN_CACHE.clear()
+    spans = vad.get_speech_segments(audio, sr, apply_energy_VAD=False, double_check=False)
+    assert isinstance(spans, list)
+    for s, t in spans:
+        assert 0.0 <= s < t <= 3.05
+    monkeypatch.delenv("MTS_VAD_WEIGHTS")
+    vad._CRDNN_CACHE.clear()

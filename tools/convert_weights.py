@@ -18,6 +18,9 @@ and network access), then ship the outputs alongside the corpora:
   # torchcrepe -> npz for encoders/crepe.py:
   python tools/convert_weights.py crepe full crepe.npz
 
+  # SpeechBrain CRDNN VAD -> npz for encoders/crdnn_vad.py:
+  python tools/convert_weights.py crdnn_vad speechbrain/vad-crdnn-libriparty vad.npz
+
 Layouts written match the load_weights() readers in the respective modules
 (conv{i}_w [k, cin, cout] / bn{i}_{scale,bias,mean,var} / proj_{w,b}).
 """
@@ -163,6 +166,115 @@ def convert_openl3(input_repr: str, out: str):
     print(f"wrote {out} ({ci} convs, {bi} batchnorms)")
 
 
+def map_crdnn_vad_state_dicts(
+    cnn_sd: dict, rnn_sd: dict, dnn_sd: dict, pool_sizes=None
+) -> dict:
+    """SpeechBrain VAD module state_dicts (mods.cnn / mods.rnn / mods.dnn of
+    a vad-crdnn checkpoint) -> flat npz arrays for encoders.crdnn_vad.
+
+    Geometry is inferred from the state dicts themselves (block counts,
+    channels, rnn width), so the mapper is robust to the exact hyperparams
+    of the published recipe. Classification rules per module:
+      cnn: 4-d weights are conv kernels ([Cout,Cin,kt,kf] -> [kt,kf,Cin,Cout]);
+           the remaining weight/bias pairs in each block are the LayerNorm.
+      rnn: torch LSTM naming (weight_ih_l{j}[_reverse], ...); the two torch
+           biases are summed into the single-bias layout ops/rnn.py uses.
+      dnn: 2-d weights are Linear layers ([out,in] -> [in,out]); weights with
+           sibling running stats are BatchNorm1d; the final Linear (width 1)
+           is the sigmoid output head.
+    Pool factors are not parameters; pass pool_sizes when the recipe differs
+    from the default frequency max-pool of 2 per block.
+    """
+    arrays = {}
+
+    # --- cnn ---------------------------------------------------------------
+    conv_ws = [(k, v) for k, v in cnn_sd.items()
+               if k.endswith("weight") and np.ndim(v) == 4]
+    if pool_sizes is None:
+        pool_sizes = [2] * len(conv_ws)
+    ln_ws = [(k, v) for k, v in cnn_sd.items()
+             if k.endswith("weight") and np.ndim(v) in (1, 2)]
+    if len(ln_ws) != len(conv_ws):
+        raise ValueError(
+            f"cnn: {len(conv_ws)} convs but {len(ln_ws)} norm layers — "
+            "unexpected block structure, inspect the state dict"
+        )
+    for i, ((wk, w), (lk, lw)) in enumerate(zip(conv_ws, ln_ws)):
+        w = np.asarray(w)
+        arrays[f"cnn{i}_w"] = np.transpose(w, (2, 3, 1, 0))
+        bk = wk[: -len("weight")] + "bias"
+        arrays[f"cnn{i}_b"] = (
+            np.asarray(cnn_sd[bk]) if bk in cnn_sd else np.zeros(w.shape[0], w.dtype)
+        )
+        arrays[f"cnn{i}_ln_scale"] = np.asarray(lw)
+        arrays[f"cnn{i}_ln_bias"] = np.asarray(cnn_sd[lk[: -len("weight")] + "bias"])
+        arrays[f"cnn{i}_pool"] = np.asarray(pool_sizes[i], np.int32)
+
+    # --- rnn ---------------------------------------------------------------
+    def _rnn_key(stem: str):
+        hits = [k for k in rnn_sd if k.endswith(stem)]
+        if len(hits) != 1:
+            raise KeyError(f"rnn: expected exactly one *{stem}, got {hits}")
+        return rnn_sd[hits[0]]
+
+    n_layers = len({k.rsplit("_l", 1)[-1].replace("_reverse", "")
+                    for k in rnn_sd if "weight_ih_l" in k})
+    for j in range(n_layers):
+        for d, suff in (("fwd", ""), ("bwd", "_reverse")):
+            w_ih = np.asarray(_rnn_key(f"weight_ih_l{j}{suff}"))
+            w_hh = np.asarray(_rnn_key(f"weight_hh_l{j}{suff}"))
+            b = np.asarray(_rnn_key(f"bias_ih_l{j}{suff}")) + np.asarray(
+                _rnn_key(f"bias_hh_l{j}{suff}")
+            )
+            arrays[f"rnn_l{j}_{d}_w_ih"] = np.transpose(w_ih)
+            arrays[f"rnn_l{j}_{d}_w_hh"] = np.transpose(w_hh)
+            arrays[f"rnn_l{j}_{d}_b"] = b
+
+    # --- dnn ---------------------------------------------------------------
+    lin_ws = [(k, v) for k, v in dnn_sd.items()
+              if k.endswith("weight") and np.ndim(v) == 2]
+    bn_bases = [k[: -len("running_mean")] for k in dnn_sd if k.endswith("running_mean")]
+    if len(lin_ws) != len(bn_bases) + 1:
+        raise ValueError(
+            f"dnn: {len(lin_ws)} linears with {len(bn_bases)} batchnorms — "
+            "expected one un-normalized output head"
+        )
+    for j, (wk, w) in enumerate(lin_ws[:-1]):
+        arrays[f"dnn{j}_w"] = np.transpose(np.asarray(w))
+        bk = wk[: -len("weight")] + "bias"
+        arrays[f"dnn{j}_b"] = (
+            np.asarray(dnn_sd[bk]) if bk in dnn_sd else np.zeros(w.shape[0], w.dtype)
+        )
+        base = bn_bases[j]
+        for stat, ours in (("weight", "scale"), ("bias", "bias"),
+                           ("running_mean", "mean"), ("running_var", "var")):
+            arrays[f"dnn{j}_bn_{ours}"] = np.asarray(dnn_sd[base + stat])
+    wk, w = lin_ws[-1]
+    w = np.asarray(w)
+    if w.shape[0] != 1:
+        raise ValueError(f"dnn output head has width {w.shape[0]}, expected 1")
+    arrays["out_w"] = np.transpose(w)
+    bk = wk[: -len("weight")] + "bias"
+    arrays["out_b"] = (
+        np.asarray(dnn_sd[bk]) if bk in dnn_sd else np.zeros(1, w.dtype)
+    )
+    return arrays
+
+
+def convert_crdnn_vad(source: str, out: str):
+    from speechbrain.pretrained import VAD
+
+    vad = VAD.from_hparams(source=source)
+    sds = {
+        name: {k: v.detach().cpu().numpy()
+               for k, v in getattr(vad.mods, name).state_dict().items()}
+        for name in ("cnn", "rnn", "dnn")
+    }
+    arrays = map_crdnn_vad_state_dicts(sds["cnn"], sds["rnn"], sds["dnn"])
+    np.savez(out, **arrays)
+    print(f"wrote {out} with {len(arrays)} arrays")
+
+
 def convert_crepe(capacity: str, out: str):
     import torchcrepe
 
@@ -189,5 +301,7 @@ if __name__ == "__main__":
         convert_openl3(sys.argv[2], sys.argv[3])
     elif kind == "crepe":
         convert_crepe(sys.argv[2], sys.argv[3])
+    elif kind == "crdnn_vad":
+        convert_crdnn_vad(sys.argv[2], sys.argv[3])
     else:
         raise SystemExit(__doc__)
