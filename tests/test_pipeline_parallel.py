@@ -1,0 +1,101 @@
+"""Pipeline parallelism: pipelined encoder == single-device encoder.
+
+Runs on the 8-virtual-device CPU mesh (conftest). The pipelined program is
+one differentiable SPMD computation, so both the forward scores and the
+training gradients must match the plain TransformerSegmenter bit-for-bit up
+to float tolerance.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from multimodaltopicsegmentation_tpu.models.base import TaggerConfig
+from multimodaltopicsegmentation_tpu.models.registry import build
+from multimodaltopicsegmentation_tpu.parallel.pipeline import (
+    make_pipeline_mesh,
+    pipeline_transformer_loss,
+    pipeline_transformer_scores,
+)
+
+
+def _setup(n_layers=4, restricted=True, L=24, B=8):
+    cfg = TaggerConfig(
+        embedding_dim=16, hidden_dim=32, num_layers=n_layers, nheads=2,
+        attention_window=4, loss_fn="FocalLoss",
+    )
+    from multimodaltopicsegmentation_tpu.models.transformers import TransformerSegmenter
+
+    seg = TransformerSegmenter(cfg, restricted=restricted)
+    params = seg.init(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((B, L, 16)), jnp.float32)
+    lengths = jnp.asarray([L, L - 4, L - 7, L, 5, L, 12, 3][:B], jnp.int32)
+    tags = jnp.asarray((rng.random((B, L)) < 0.2).astype(np.float32))
+    return seg, params, x, lengths, tags
+
+
+@pytest.mark.parametrize("n_micro", [4, 8])
+@pytest.mark.parametrize("restricted", [True, False])
+def test_pipeline_scores_match_single_device(n_micro, restricted):
+    seg, params, x, lengths, _ = _setup(restricted=restricted)
+    mesh = make_pipeline_mesh(4)
+    ref = np.asarray(seg.scores(params, x, lengths))
+    got = np.asarray(
+        pipeline_transformer_scores(mesh, seg, params, x, lengths, n_micro)
+    )
+    np.testing.assert_allclose(got, ref, atol=1e-5, rtol=1e-5)
+
+
+def test_pipeline_grads_match_single_device():
+    """grad through scan+ppermute = the reverse pipeline schedule; it must
+    produce the same parameter gradients as the unpipelined loss."""
+    seg, params, x, lengths, tags = _setup()
+    mesh = make_pipeline_mesh(4)
+
+    ref_loss, ref_grads = jax.value_and_grad(
+        lambda p: seg.loss(p, x, lengths, tags)
+    )(params)
+    pp_loss, pp_grads = jax.value_and_grad(
+        lambda p: pipeline_transformer_loss(mesh, seg, p, x, lengths, tags, 4)
+    )(params)
+
+    np.testing.assert_allclose(float(pp_loss), float(ref_loss), atol=1e-6, rtol=1e-6)
+    assert jax.tree.structure(ref_grads) == jax.tree.structure(pp_grads)
+    for a, b in zip(jax.tree.leaves(ref_grads), jax.tree.leaves(pp_grads)):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), atol=2e-5, rtol=2e-5
+        )
+
+
+def test_pipeline_whole_mesh_eight_stages():
+    """One layer per device over all 8 CPU devices."""
+    seg, params, x, lengths, _ = _setup(n_layers=8)
+    mesh = make_pipeline_mesh(8)
+    ref = np.asarray(seg.scores(params, x, lengths))
+    got = np.asarray(
+        pipeline_transformer_scores(mesh, seg, params, x, lengths, 8)
+    )
+    np.testing.assert_allclose(got, ref, atol=1e-5, rtol=1e-5)
+
+
+def test_pipeline_single_stage_fallback():
+    seg, params, x, lengths, _ = _setup()
+    mesh = make_pipeline_mesh(1)
+    ref = np.asarray(seg.scores(params, x, lengths))
+    got = np.asarray(
+        pipeline_transformer_scores(mesh, seg, params, x, lengths, 4)
+    )
+    np.testing.assert_allclose(got, ref, atol=1e-6, rtol=1e-6)
+
+
+def test_pipeline_jitted_under_mesh():
+    """The whole pipelined loss jits (what a production step would do)."""
+    seg, params, x, lengths, tags = _setup()
+    mesh = make_pipeline_mesh(4)
+    f = jax.jit(
+        lambda p, x, l, t: pipeline_transformer_loss(mesh, seg, p, x, l, t, 4)
+    )
+    loss = float(f(params, x, lengths, tags))
+    assert np.isfinite(loss)
