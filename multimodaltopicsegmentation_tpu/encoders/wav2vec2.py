@@ -86,6 +86,27 @@ def _layer_norm(p, x, eps):
     return (x - mu) * jax.lax.rsqrt(var + eps) * p["scale"] + p["bias"]
 
 
+def _use_pallas_norm(channels: int, cfg) -> bool:
+    """Fused Pallas norm+gelu gate — opt-in via MTS_PALLAS_NORM=1.
+
+    Measured on one v5e at the predict shape (150x3199x512): XLA 9.3 ms vs
+    Pallas 16-17 ms for the conv1 norm+gelu stage. The stage is VPU-bound
+    (exact-GELU erf/exp over ~245M elements ~4 ms) and XLA's fusion already
+    overlaps it with contiguous HBM streaming; neither a lane-blocked nor a
+    two-phase time-blocked kernel beat it (ops/pallas_norm.py keeps the
+    better variant + the numbers). Default stays XLA; the gate also
+    requires per-channel groups (HF wav2vec2's GroupNorm has num_groups ==
+    channels), lane-aligned width, and a non-CPU backend (no reverse-mode
+    autodiff — inference only)."""
+    import os
+
+    if os.environ.get("MTS_PALLAS_NORM") != "1":
+        return False
+    if cfg.num_groupnorm_groups != channels or channels % 128 != 0:
+        return False
+    return jax.default_backend() not in ("cpu",)
+
+
 def _group_norm(p, x, groups, eps=1e-5, frame_mask=None):
     """x: [B, T, C]; torch GroupNorm over channels (stats per group over T, C/g).
 
@@ -187,6 +208,15 @@ def apply(params: dict, cfg: Wav2Vec2Config, audio: jnp.ndarray,
                 (cur_len - cfg.conv_kernel[i]) // cfg.conv_stride[i] + 1, 0
             )
         if i == 0:
+            if cur_len is None and _use_pallas_norm(x.shape[-1], cfg):
+                # opt-in fused instance-norm + gelu kernel (measured SLOWER
+                # than XLA at the flagship shape — see _use_pallas_norm)
+                from ..ops.pallas_norm import pallas_instance_norm_gelu
+
+                x = pallas_instance_norm_gelu(
+                    x, layer["gn"]["scale"], layer["gn"]["bias"]
+                )
+                continue
             fm = None
             if cur_len is not None:
                 fm = (jnp.arange(x.shape[1])[None, :] < cur_len[:, None]).astype(x.dtype)
