@@ -63,7 +63,10 @@ def crepe_apply(params: dict, frames: jnp.ndarray) -> jnp.ndarray:
         x = jax.lax.conv_general_dilated(
             x, lp["w"], (s,), "SAME", dimension_numbers=("NWC", "WIO", "NWC")
         ) + lp["b"]
-        x = jax.nn.relu(_bn(lp["bn"], x))
+        # CREPE block order is conv -> ReLU -> BatchNorm -> maxpool (Kim et
+        # al. 2018 keras reference and the torchcrepe port the converter
+        # maps weights from); BN-before-ReLU would misuse converted stats
+        x = _bn(lp["bn"], jax.nn.relu(x))
         x = jax.lax.reduce_window(
             x, -jnp.inf, jax.lax.max, (1, 2, 1), (1, 2, 1), "VALID"
         )

@@ -487,3 +487,66 @@ def test_crdnn_vad_posteriors_and_segments(tmp_path, rng, monkeypatch):
         assert 0.0 <= s < t <= 3.05
     monkeypatch.delenv("MTS_VAD_WEIGHTS")
     vad._CRDNN_CACHE.clear()
+
+
+# ---------------------------------------------------------------------------
+# CREPE (torchcrepe layout)
+# ---------------------------------------------------------------------------
+
+
+def test_crepe_matches_torch_replica(tmp_path, rng):
+    """Converted torchcrepe-layout weights through the full chain (mapper ->
+    npz -> load_weights -> crepe_apply) must reproduce a torch replica of
+    the CREPE trunk: conv -> ReLU -> BatchNorm(eps 1e-3) -> maxpool, with
+    the keras/XLA 'SAME' padding split."""
+    import torch
+    import torch.nn.functional as F
+
+    from convert_weights import map_crepe_state_dict
+
+    from multimodaltopicsegmentation_tpu.encoders import crepe
+
+    torch.manual_seed(0)
+    layers = crepe.LAYERS  # (cout, k, stride) x 5
+    sd, cin = {}, 1
+    for i, (cout, k, s) in enumerate(layers):
+        sd[f"conv{i+1}.weight"] = 0.2 * torch.randn(cout, cin, k, 1)
+        sd[f"conv{i+1}.bias"] = 0.1 * torch.randn(cout)
+        sd[f"conv{i+1}_BN.weight"] = 1.0 + 0.1 * torch.randn(cout)
+        sd[f"conv{i+1}_BN.bias"] = 0.1 * torch.randn(cout)
+        sd[f"conv{i+1}_BN.running_mean"] = 0.1 * torch.randn(cout)
+        sd[f"conv{i+1}_BN.running_var"] = 1.0 + 0.1 * torch.rand(cout)
+        cin = cout
+
+    frames = rng.standard_normal((3, crepe.FRAME)).astype(np.float32)
+
+    with torch.no_grad():
+        x = torch.from_numpy(frames)
+        mu = x.mean(-1, keepdim=True)
+        sdv = x.std(-1, unbiased=False, keepdim=True) + 1e-8
+        x = ((x - mu) / sdv)[:, None, :, None]  # [N, 1, 1024, 1]
+        for i, (cout, k, s) in enumerate(layers):
+            t_in = x.shape[2]
+            total = max((-(-t_in // s) - 1) * s + k - t_in, 0)
+            x = F.pad(x, (0, 0, total // 2, total - total // 2))
+            x = F.conv2d(x, sd[f"conv{i+1}.weight"], sd[f"conv{i+1}.bias"],
+                         stride=(s, 1))
+            x = F.relu(x)
+            x = F.batch_norm(
+                x, sd[f"conv{i+1}_BN.running_mean"], sd[f"conv{i+1}_BN.running_var"],
+                sd[f"conv{i+1}_BN.weight"], sd[f"conv{i+1}_BN.bias"],
+                training=False, eps=1e-3,
+            )
+            x = F.max_pool2d(x, (2, 1), (2, 1))
+        trunk = x.amax(dim=2)[:, :, 0].numpy()  # [N, C] global time max
+
+    out = str(tmp_path / "crepe.npz")
+    np.savez(out, **map_crepe_state_dict(
+        {k: v.numpy() for k, v in sd.items()}, n_layers=len(layers)
+    ))
+    params = crepe.load_weights(out)  # proj stays the framework-owned init
+    ref = trunk @ np.asarray(params["proj_w"]) + np.asarray(params["proj_b"])
+    ours = np.asarray(crepe.crepe_apply(params, jnp.asarray(frames)))
+    # K=512 conv accumulation order differs between XLA and torch; the
+    # global time-max then selects among near-ties -> ~5e-4 relative noise
+    np.testing.assert_allclose(ours, ref, atol=1e-3, rtol=1e-3)

@@ -275,19 +275,28 @@ def convert_crdnn_vad(source: str, out: str):
     print(f"wrote {out} with {len(arrays)} arrays")
 
 
+def map_crepe_state_dict(sd: dict, n_layers: int = 6) -> dict:
+    """torchcrepe Crepe state_dict (conv{i}.weight [Cout,Cin,K,1] +
+    conv{i}_BN stats) -> flat npz arrays for encoders.crepe.load_weights
+    (conv kernels as [K, Cin, Cout])."""
+    arrays = {}
+    for i in range(n_layers):
+        arrays[f"conv{i}_w"] = np.transpose(
+            np.asarray(sd[f"conv{i+1}.weight"])[..., 0], (2, 1, 0)
+        )
+        arrays[f"conv{i}_b"] = np.asarray(sd[f"conv{i+1}.bias"])
+        for stat, ours in (("weight", "scale"), ("bias", "bias"),
+                           ("running_mean", "mean"), ("running_var", "var")):
+            arrays[f"bn{i}_{ours}"] = np.asarray(sd[f"conv{i+1}_BN.{stat}"])
+    return arrays
+
+
 def convert_crepe(capacity: str, out: str):
     import torchcrepe
 
     torchcrepe.load.model("cpu", capacity)
     sd = {k: v.detach().cpu().numpy() for k, v in torchcrepe.infer.model.state_dict().items()}
-    arrays = {}
-    for i in range(6):
-        arrays[f"conv{i}_w"] = np.transpose(sd[f"conv{i+1}.weight"][..., 0], (2, 1, 0))
-        arrays[f"conv{i}_b"] = sd[f"conv{i+1}.bias"]
-        for stat, ours in (("weight", "scale"), ("bias", "bias"),
-                           ("running_mean", "mean"), ("running_var", "var")):
-            arrays[f"bn{i}_{ours}"] = sd[f"conv{i+1}_BN.{stat}"]
-    np.savez(out, **arrays)
+    np.savez(out, **map_crepe_state_dict(sd))
     print(f"wrote {out}")
 
 
