@@ -57,18 +57,30 @@ def htk_mel_filterbank(sr: int, n_fft: int, n_mels: int) -> np.ndarray:
     return np.maximum(0, np.minimum(lower, upper)).astype(np.float32)
 
 
+def hamming_window(n: int) -> np.ndarray:
+    """Periodic Hamming, matching torch.hamming_window(n) — speechbrain's
+    STFT default (window_fn=torch.hamming_window)."""
+    return (0.54 - 0.46 * np.cos(2.0 * np.pi * np.arange(n) / n)).astype(np.float32)
+
+
 def vad_fbank(audio: jnp.ndarray) -> jnp.ndarray:
     """[S] 16 kHz audio -> [T, 40] normalized log-mel features.
 
-    Matches the VAD interface's feature path: power STFT -> 40 HTK mel
-    filters -> 10*log10 with amin 1e-10 and a per-utterance 80 dB floor
-    (speechbrain Filterbank._amplitude_to_DB), then sentence-level mean
-    subtraction (InputNormalization(norm_type='sentence', std_norm=False)).
+    Matches the VAD interface's feature path: centered ZERO-padded frames
+    (speechbrain STFT center=True, pad_mode='constant' — NOT the reflect
+    padding the librosa-parity DSP layer uses) windowed with the periodic
+    HAMMING window (torch.hamming_window default) -> power spectrum -> 40
+    HTK mel filters -> 10*log10 with amin 1e-10 and a per-utterance 80 dB
+    floor (Filterbank._amplitude_to_DB) -> sentence-level mean subtraction
+    (InputNormalization(norm_type='sentence', std_norm=False)). These are
+    speechbrain's documented defaults; recheck against the checkpoint's
+    hyperparams.yaml when converting real vad-crdnn weights.
     """
-    from ..dsp.spectral import frame_signal, hann_window
+    from ..dsp.spectral import frame_signal
 
-    frames = frame_signal(audio, WIN, HOP, center=True)
-    win = jnp.asarray(hann_window(WIN), audio.dtype)
+    audio = jnp.pad(audio, (WIN // 2, WIN // 2))  # constant (zero) centering
+    frames = frame_signal(audio, WIN, HOP, center=False)
+    win = jnp.asarray(hamming_window(WIN), audio.dtype)
     spec = jnp.abs(jnp.fft.rfft(frames * win, n=WIN, axis=-1)) ** 2
     bank = jnp.asarray(htk_mel_filterbank(SR, WIN, N_MELS))
     db = 10.0 * jnp.log10(jnp.maximum(spec @ bank.T, 1e-10))
@@ -201,11 +213,15 @@ def posteriors(params: dict, audio: np.ndarray, sr: int) -> np.ndarray:
     a handful of shapes per corpus instead of one per document; the backward
     LSTM still starts from the true final frame (lengths-aware reversal).
     """
+    audio = np.asarray(audio)
+    if audio.size == 0:
+        # match the energy-logistic path's graceful empty-input behavior
+        return np.zeros((0,), np.float32)
     if sr != SR:
         from ..utils.audio import resample
 
-        audio = resample(np.asarray(audio), sr, SR)
-    feats = np.asarray(vad_fbank(jnp.asarray(np.asarray(audio), jnp.float32)))
+        audio = resample(audio, sr, SR)
+    feats = np.asarray(vad_fbank(jnp.asarray(audio, jnp.float32)))
     t = feats.shape[0]
     bucket = max(3000 * ((t + 2999) // 3000), 3000)
     feats = np.pad(feats, ((0, bucket - t), (0, 0)))

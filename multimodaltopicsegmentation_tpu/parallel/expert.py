@@ -27,16 +27,7 @@ from jax import lax
 from jax.sharding import Mesh, PartitionSpec as P
 
 
-def _shard_map():
-    try:
-        from jax import shard_map
-
-        return shard_map
-    except ImportError:  # older jax
-        from jax.experimental.shard_map import shard_map
-
-        return shard_map
-
+from . import shard_map as _shard_map
 
 N_EXPERTS = 2  # the reference's domain flag is binary
 

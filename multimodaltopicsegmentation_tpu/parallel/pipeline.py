@@ -36,16 +36,7 @@ from jax import lax
 from jax.sharding import Mesh, PartitionSpec as P
 
 
-def _shard_map():
-    try:
-        from jax import shard_map
-
-        return shard_map
-    except ImportError:  # older jax
-        from jax.experimental.shard_map import shard_map
-
-        return shard_map
-
+from . import shard_map as _shard_map
 
 def make_pipeline_mesh(n_devices=None, devices=None) -> Mesh:
     """1-axis ('pipe',) mesh over the first n devices."""
@@ -97,8 +88,9 @@ def pipeline_encoder_apply(
     if S == 1:
         for i, lp in enumerate(enc_params["layers"]):
             w = None if windows is None else windows[i]
+            k = None if rng is None else jax.random.fold_in(rng, i)
             x = bert_layer_apply(lp, x, encoder.nheads, mask, window=w,
-                                 train=train, rng=rng, drop=encoder.drop)
+                                 train=train, rng=k, drop=encoder.drop)
         return x
 
     stacked = _stack_layers(enc_params["layers"])  # [nl, ...]

@@ -76,11 +76,9 @@ def sequence_sharded_local_attention(
     axis: str = "data",
 ):
     """q,k,v: [B, H, L, Dh] with L divisible by mesh.shape[axis]."""
-    try:
-        from jax import shard_map
-    except ImportError:  # older jax
-        from jax.experimental.shard_map import shard_map
+    from . import shard_map as _sm
 
+    shard_map = _sm()
     spec = P(None, None, axis, None)
     mspec = P(None, axis)
     fn = shard_map(
@@ -111,11 +109,9 @@ def sequence_sharded_transformer_decode(
     x: [B, L, D] with L divisible by mesh.shape[axis]; the pyramidal
     per-layer window must not exceed the shard length (halo = window/2).
     """
-    try:
-        from jax import shard_map
-    except ImportError:  # older jax
-        from jax.experimental.shard_map import shard_map
+    from . import shard_map as _sm
 
+    shard_map = _sm()
     from ..models.base import head_decode
     from ..models.transformers import linear, merge_heads, split_heads
 

@@ -103,6 +103,31 @@ def main() -> int:
         out = jax.jit(lambda q, m: pallas_local_attention(q, q, q, 32, m))(q, mask)
         assert np.all(np.isfinite(np.asarray(out)))
 
+    def pallas_norm_kernel():
+        from multimodaltopicsegmentation_tpu.encoders.wav2vec2 import _group_norm
+        from multimodaltopicsegmentation_tpu.ops.pallas_norm import (
+            pallas_instance_norm_gelu,
+        )
+
+        x = jnp.asarray(rng.standard_normal((2, 100, 128)), jnp.float32)
+        scale = jnp.ones((128,))
+        bias = jnp.zeros((128,))
+        out = jax.jit(pallas_instance_norm_gelu)(x, scale, bias)
+        ref = jax.nn.gelu(
+            _group_norm({"scale": scale, "bias": bias}, x, groups=128),
+            approximate=False,
+        )
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-3, rtol=2e-3)
+
+    def crdnn_vad_posteriors():
+        from multimodaltopicsegmentation_tpu.encoders import crdnn_vad
+
+        params = crdnn_vad.random_params(jax.random.PRNGKey(0))
+        audio = (0.1 * rng.standard_normal(2 * 16000)).astype(np.float32)
+        post = crdnn_vad.posteriors(params, audio, 16000)
+        assert post.shape[0] > 0 and np.all((post >= 0) & (post <= 1))
+
     def prosodic_frontend():
         from multimodaltopicsegmentation_tpu.dsp.prosody import mfcc_features, prosodic_features
 
@@ -143,6 +168,8 @@ def main() -> int:
         ("CRF Viterbi", crf_viterbi),
         ("blocked local attention", blocked_local_attention),
         ("pallas local attention kernel", pallas_kernel),
+        ("pallas fused instance-norm+gelu kernel", pallas_norm_kernel),
+        ("CRDNN VAD posteriors", crdnn_vad_posteriors),
         ("prosodic/MFCC front-end", prosodic_frontend),
         ("wav2vec2 forward", wav2vec2_forward),
         ("transformer decode", transformer_decode),

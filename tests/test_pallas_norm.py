@@ -30,11 +30,15 @@ def test_pallas_instance_norm_gelu_matches_xla(T):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5, rtol=1e-5)
 
 
-def test_wav2vec2_apply_unaffected_on_cpu():
-    """On CPU the gate keeps the XLA path (exact parity tests elsewhere
-    depend on it); MTS_NO_PALLAS kills the kernel everywhere."""
+def test_pallas_norm_gate(monkeypatch):
+    """The kernel is a measured opt-in: off without MTS_PALLAS_NORM=1, and
+    even opted-in the CPU backend keeps the XLA path (exact parity tests
+    elsewhere depend on it)."""
     from multimodaltopicsegmentation_tpu.encoders.wav2vec2 import _use_pallas_norm, Wav2Vec2Config
 
     cfg = Wav2Vec2Config.base()
     assert jax.default_backend() == "cpu"
-    assert not _use_pallas_norm(512, cfg)
+    monkeypatch.delenv("MTS_PALLAS_NORM", raising=False)
+    assert not _use_pallas_norm(512, cfg)  # not opted in
+    monkeypatch.setenv("MTS_PALLAS_NORM", "1")
+    assert not _use_pallas_norm(512, cfg)  # opted in, but CPU backend
