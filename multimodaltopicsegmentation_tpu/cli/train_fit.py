@@ -159,7 +159,12 @@ def main(args):
     import jax
 
     mesh = None
-    if len(jax.devices()) > 1:
+    pipeline_stages = int(getattr(args, "pipeline_stages", 0) or 0)
+    if pipeline_stages > 1:
+        # the pipeline owns the devices; Trainer validates architecture,
+        # layer divisibility and device count
+        pass
+    elif len(jax.devices()) > 1:
         from ..parallel.mesh import make_mesh
 
         mesh = make_mesh(model_parallel=1)
@@ -390,6 +395,7 @@ def main(args):
                 use_end_boundary=args.use_end_boundary,
                 zero_baseline=args.zero_baseline,
                 mesh=mesh,
+                pipeline_stages=pipeline_stages,
             )
 
             from ..utils import profiling
@@ -652,6 +658,10 @@ def build_parser() -> argparse.ArgumentParser:
     # TPU-native extension (no reference equivalent): train the whole
     # dropout grid in one lockstep vmapped program per fold
     parser.add_argument("--parallel_grid", "-pg", action="store_true")
+    # TPU-native extension: stage the Transformer layer stack over this
+    # many devices (GPipe microbatching, parallel/pipeline.py); replaces
+    # the DP/TP mesh for that run
+    parser.add_argument("--pipeline_stages", "-pps", type=int, default=0)
     parser.add_argument("--hidden_units_search_space", "-huss", nargs="*", type=int)
     parser.add_argument("--number_layers_search_space", "-nlss", nargs="*", type=int)
     parser.add_argument("--dropout_in_search_space", "-diss", nargs="*", type=float)

@@ -72,6 +72,41 @@ def make_sharded_train_step(arch, tx, mesh: Mesh, params, extra_kind: str = "") 
     return step_jit, place_params
 
 
+def make_pipeline_train_step(seg, tx, pipe_mesh: Mesh, axis: str = "pipe") -> Callable:
+    """Training step with the transformer layer stack pipelined over the
+    ('pipe',) mesh (parallel/pipeline.py). The microbatch count is the
+    batch size (microbatch = one document — maximal pipeline utilization,
+    bubble (S-1)/(B+S-1)); jit caches one program per distinct batch shape,
+    same as the plain step under bucketed padding.
+    """
+    import optax as _optax
+
+    from .pipeline import pipeline_transformer_loss
+
+    cache = {}
+
+    def step(params, opt_state, src, lengths, tags, rng, extra):
+        n_micro = int(src.shape[0])
+        if n_micro not in cache:
+            def jit_step(params, opt_state, src, lengths, tags, rng,
+                         _n=n_micro):
+                def loss_fn(p):
+                    return pipeline_transformer_loss(
+                        pipe_mesh, seg, p, src, lengths, tags, _n,
+                        axis=axis, rng=rng,
+                    )
+
+                loss, grads = jax.value_and_grad(loss_fn)(params)
+                updates, opt_state = tx.update(grads, opt_state, params)
+                params = _optax.apply_updates(params, updates)
+                return params, opt_state, loss
+
+            cache[n_micro] = jax.jit(jit_step, donate_argnums=(0, 1))
+        return cache[n_micro](params, opt_state, src, lengths, tags, rng)
+
+    return step
+
+
 def make_sharded_decode(arch, mesh: Mesh, params, threshold: float = 0.5) -> Callable:
     """Batched sharded inference decode (documents over 'data')."""
     p_shard = param_shardings(mesh, params)

@@ -148,6 +148,7 @@ class Trainer:
         zero_baseline: bool = False,
         mesh=None,
         detect_anomaly: Optional[bool] = None,
+        pipeline_stages: int = 0,
     ):
         self.arch_name = architecture
         self.arch = registry.build(architecture, cfg)
@@ -170,6 +171,30 @@ class Trainer:
         # multi-chip: shard the train step over the ('data','model') mesh;
         # None or a 1-device mesh falls back to the plain jitted step
         self.mesh = mesh if (mesh is not None and mesh.size > 1) else None
+        # pipeline parallelism (transformer stacks only): stages over a
+        # ('pipe',) mesh instead of DP/TP — mutually exclusive with `mesh`
+        self.pipe_mesh = None
+        if pipeline_stages and pipeline_stages > 1:
+            from ..models.transformers import TransformerSegmenter
+            from ..parallel.pipeline import make_pipeline_mesh
+
+            if not isinstance(self.arch, TransformerSegmenter):
+                raise ValueError(
+                    f"pipeline_stages applies to the Transformer architecture, "
+                    f"got {architecture!r}"
+                )
+            if cfg.num_layers % pipeline_stages != 0:
+                raise ValueError(
+                    f"num_layers={cfg.num_layers} does not split over "
+                    f"{pipeline_stages} pipeline stages"
+                )
+            if len(jax.devices()) < pipeline_stages:
+                raise ValueError(
+                    f"pipeline_stages={pipeline_stages} needs that many "
+                    f"devices, have {len(jax.devices())}"
+                )
+            self.pipe_mesh = make_pipeline_mesh(pipeline_stages)
+            self.mesh = None  # pipeline owns the devices
         # NaN tripwire, the analogue of the reference's always-on Lightning
         # Trainer(detect_anomaly=True) (/root/reference/train_fit.py:289)
         if detect_anomaly is None:
@@ -186,6 +211,12 @@ class Trainer:
         if self._step_jit is None:
             arch = self.arch
             tx = self.tx
+
+            if self.pipe_mesh is not None:
+                from ..parallel.train_step import make_pipeline_train_step
+
+                self._step_jit = make_pipeline_train_step(arch, tx, self.pipe_mesh)
+                return self._step_jit
 
             if self.mesh is not None:
                 from ..parallel.train_step import make_sharded_train_step

@@ -99,3 +99,72 @@ def test_pipeline_jitted_under_mesh():
     )
     loss = float(f(params, x, lengths, tags))
     assert np.isfinite(loss)
+
+
+# ---------------------------------------------------------------------------
+# production Trainer integration (pipeline_stages)
+# ---------------------------------------------------------------------------
+
+
+def _trainer_batches(B=8, L=24, D=16, n=3):
+    rng = np.random.default_rng(5)
+    out = []
+    for _ in range(n):
+        out.append({
+            "src_tokens": rng.standard_normal((B, L, D)).astype(np.float32),
+            "tgt_tokens": (rng.random((B, L)) < 0.2).astype(np.float32),
+            "src_lengths": np.asarray([L, L - 4, L, 9, L, 14, L, 6][:B], np.int32),
+            "n_real": B,
+        })
+    return out
+
+
+def test_trainer_pipeline_matches_plain(tmp_path):
+    """Trainer(pipeline_stages=4) must reproduce the unpipelined Trainer's
+    loss history exactly (dropout off -> the rng plumbing difference is
+    inert and the pipelined program is numerically the dense program)."""
+    from multimodaltopicsegmentation_tpu.train.loop import Trainer
+
+    cfg = TaggerConfig(
+        embedding_dim=16, hidden_dim=32, num_layers=4, nheads=2,
+        attention_window=4, loss_fn="FocalLoss",
+    )
+    histories = []
+    for stages in (0, 4):
+        trainer = Trainer(
+            "Transformer", cfg, lr=1e-3, max_epochs=3,
+            monitor="training_loss", check_dir=str(tmp_path / f"s{stages}"),
+            pipeline_stages=stages,
+        )
+        _params, history = trainer.fit(_trainer_batches())
+        histories.append([h["training_loss"] for h in history])
+    np.testing.assert_allclose(histories[1], histories[0], atol=1e-5, rtol=1e-5)
+
+
+def test_trainer_pipeline_validation():
+    from multimodaltopicsegmentation_tpu.train.loop import Trainer
+
+    cfg = TaggerConfig(embedding_dim=16, hidden_dim=32, num_layers=4,
+                       nheads=2, attention_window=4, loss_fn="FocalLoss")
+    with pytest.raises(ValueError, match="Transformer"):
+        Trainer("BiLSTM", TaggerConfig(embedding_dim=16, hidden_dim=8,
+                                       num_layers=1, loss_fn="FocalLoss"),
+                pipeline_stages=2)
+    with pytest.raises(ValueError, match="split over"):
+        Trainer("Transformer", cfg, pipeline_stages=3)
+
+
+def test_trainer_pipeline_varied_batch_sizes(tmp_path):
+    """The per-batch-size jit cache handles a short trailing batch."""
+    from multimodaltopicsegmentation_tpu.train.loop import Trainer
+
+    cfg = TaggerConfig(embedding_dim=16, hidden_dim=32, num_layers=2,
+                       nheads=2, attention_window=4, loss_fn="FocalLoss")
+    batches = _trainer_batches(n=2)
+    small = {k: (v[:3] if hasattr(v, "shape") else 3) for k, v in batches[0].items()}
+    trainer = Trainer(
+        "Transformer", cfg, lr=1e-3, max_epochs=2,
+        monitor="training_loss", check_dir=str(tmp_path), pipeline_stages=2,
+    )
+    _params, history = trainer.fit(batches + [small])
+    assert np.isfinite(history[-1]["training_loss"])
