@@ -36,14 +36,19 @@ def _setup(loss_fn="FocalLoss", B=6, L=12, D=8):
 
 
 @pytest.mark.parametrize("loss_fn", ["FocalLoss", "CrossEntropy"])
-def test_expert_scores_match_dense(loss_fn):
+def test_expert_scores_and_decode_match_dense(loss_fn):
+    """Scores AND threshold decode in one pass (decode = scores +
+    head_decode, so one sharded program covers both)."""
     model, params, x, lengths, domains, _ = _setup(loss_fn)
     mesh = make_expert_mesh()
-    ref = np.asarray(model.scores(params, x, lengths, domains))
-    got = np.asarray(
-        expert_sharded_switch_scores(mesh, model, params, x, lengths, domains)
+    ref_scores, ref_tags = model.decode(params, x, lengths, domains, 0.5)
+    got_scores, got_tags = expert_sharded_switch_decode(
+        mesh, model, params, x, lengths, domains, 0.5
     )
-    np.testing.assert_allclose(got, ref, atol=1e-6, rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(got_scores), np.asarray(ref_scores), atol=1e-6, rtol=1e-6
+    )
+    np.testing.assert_array_equal(np.asarray(got_tags), np.asarray(ref_tags))
 
 
 def test_expert_loss_and_grads_match_dense():
@@ -63,19 +68,6 @@ def test_expert_loss_and_grads_match_dense():
     assert jax.tree.structure(ref_g) == jax.tree.structure(ep_g)
     for a, b in zip(jax.tree.leaves(ref_g), jax.tree.leaves(ep_g)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-5, rtol=1e-5)
-
-
-def test_expert_decode_matches_dense():
-    model, params, x, lengths, domains, _ = _setup()
-    mesh = make_expert_mesh()
-    ref_scores, ref_tags = model.decode(params, x, lengths, domains, 0.5)
-    got_scores, got_tags = expert_sharded_switch_decode(
-        mesh, model, params, x, lengths, domains, 0.5
-    )
-    np.testing.assert_allclose(
-        np.asarray(got_scores), np.asarray(ref_scores), atol=1e-6, rtol=1e-6
-    )
-    np.testing.assert_array_equal(np.asarray(got_tags), np.asarray(ref_tags))
 
 
 def test_expert_rejects_dense_switch_mode():

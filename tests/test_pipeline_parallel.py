@@ -132,7 +132,7 @@ def test_trainer_pipeline_matches_plain(tmp_path):
     histories = []
     for stages in (0, 4):
         trainer = Trainer(
-            "Transformer", cfg, lr=1e-3, max_epochs=3,
+            "Transformer", cfg, lr=1e-3, max_epochs=2,
             monitor="training_loss", check_dir=str(tmp_path / f"s{stages}"),
             pipeline_stages=stages,
         )
@@ -163,7 +163,7 @@ def test_trainer_pipeline_varied_batch_sizes(tmp_path):
     batches = _trainer_batches(n=2)
     small = {k: (v[:3] if hasattr(v, "shape") else 3) for k, v in batches[0].items()}
     trainer = Trainer(
-        "Transformer", cfg, lr=1e-3, max_epochs=2,
+        "Transformer", cfg, lr=1e-3, max_epochs=1,
         monitor="training_loss", check_dir=str(tmp_path), pipeline_stages=2,
     )
     _params, history = trainer.fit(batches + [small])
