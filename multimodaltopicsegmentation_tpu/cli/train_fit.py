@@ -331,6 +331,7 @@ def main(args):
                 check_dir=check_dir, seed=int(args.seed),
                 gradient_clipping=args.gradient_clipping,
                 tag=f"f{index}",  # folds may share check_dir; keep ckpts apart
+                mesh=mesh,  # shards the CONFIG axis over 'data'
             )
             with profiling.stage("fit_grid"):
                 gt.fit(train_loader, None if args.no_validation else valid_loader)

@@ -58,6 +58,7 @@ class GridTrainer:
         gradient_clipping: float = 0.0,
         detect_anomaly: Optional[bool] = None,
         tag: str = "",
+        mesh=None,
     ):
         if architecture not in self.SUPPORTED:
             raise ValueError(
@@ -80,6 +81,11 @@ class GridTrainer:
         if detect_anomaly is None:
             detect_anomaly = os.environ.get("MTS_DETECT_ANOMALY", "1") != "0"
         self.detect_anomaly = detect_anomaly
+        # multi-chip: the config axis is embarrassingly parallel, so it
+        # shards over the mesh 'data' axis — G configs train in the
+        # wall-clock of ceil(G/n) (grids that do not divide are padded
+        # with a dummy repeat of the last config; its results are ignored)
+        self.mesh = mesh if (mesh is not None and mesh.shape.get("data", 1) > 1) else None
         self.best_model_paths: List[Optional[str]] = [None] * len(self.grid)
         self.histories: List[list] = [[] for _ in self.grid]
         # per-config parameter snapshot taken when that config early-stops
@@ -101,14 +107,20 @@ class GridTrainer:
 
     def fit(self, train_batches: List[dict], valid_batches: Optional[List[dict]] = None):
         G = len(self.grid)
+        # pad the config axis to the mesh 'data' multiple (dummy repeats of
+        # the last config; the host loops below only ever read rows < G)
+        Gp = G
+        if self.mesh is not None:
+            n = self.mesh.shape["data"]
+            Gp = -(-G // n) * n
+        pad_grid = self.grid + [self.grid[-1]] * (Gp - G)
         arch = self.arch
         rng = jax.random.PRNGKey(self.seed)
         rng, k_init = jax.random.split(rng)
         params0 = arch.init(k_init)  # identical init per config, like serial
-        params = jax.tree.map(lambda a: jnp.stack([a] * G), params0)
+        params = jax.tree.map(lambda a: jnp.stack([a] * Gp), params0)
         tx = make_optimizer(self.optimizer_name, self.lr, self.clip)
-        opt_state = jax.vmap(tx.init)(params)
-        rates = jnp.asarray(self.grid, jnp.float32)  # [G, 2]
+        rates = jnp.asarray(pad_grid, jnp.float32)  # [Gp, 2]
 
         def one_step(p, s, rate, x, lengths, tags, k):
             def loss_fn(q):
@@ -120,26 +132,65 @@ class GridTrainer:
             updates, s = tx.update(grads, s, p)
             return optax.apply_updates(p, updates), s, loss
 
+        jit_kw = {}
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            g_shard = jax.tree.map(
+                lambda _: NamedSharding(self.mesh, P("data")), params
+            )
+            rep = NamedSharding(self.mesh, P())
+            params = jax.device_put(params, g_shard)
+            rates = jax.device_put(rates, NamedSharding(self.mesh, P("data")))
+            jit_kw = dict(
+                in_shardings=(g_shard, None, NamedSharding(self.mesh, P("data")),
+                              rep, rep, rep, rep),
+                out_shardings=(g_shard, None, None),
+            )
+        opt_state = jax.vmap(tx.init)(params)  # inherits params' shardings
         step = jax.jit(
             jax.vmap(one_step, in_axes=(0, 0, 0, None, None, None, None)),
             donate_argnums=(0, 1),
+            **jit_kw,
         )
         # validation is deterministic (no dropout) so rates do not enter
+        eval_kw = {}
+        if self.mesh is not None:
+            eval_kw = dict(in_shardings=(jit_kw["in_shardings"][0],) + (rep,) * 3)
         eval_loss = jax.jit(
             jax.vmap(
                 lambda p, x, l, t: arch.loss(p, x, l, t, rng=None),
                 in_axes=(0, None, None, None),
-            )
+            ),
+            **eval_kw,
         )
 
         # upload batches once (see loop.batches_to_device for the measured
-        # rationale)
-        train_batches = batches_to_device(train_batches)
-        if valid_batches:
-            valid_batches = batches_to_device(valid_batches)
+        # rationale); under a mesh, batches replicate (the CONFIG axis is
+        # the sharded one)
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            rep = NamedSharding(self.mesh, P())
+
+            def _rep_batches(bs):
+                return [
+                    {k: (jax.device_put(jnp.asarray(v), rep)
+                         if hasattr(v, "shape") else v)
+                     for k, v in b.items()}
+                    for b in bs
+                ]
+
+            train_batches = _rep_batches(train_batches)
+            if valid_batches:
+                valid_batches = _rep_batches(valid_batches)
+        else:
+            train_batches = batches_to_device(train_batches)
+            if valid_batches:
+                valid_batches = batches_to_device(valid_batches)
 
         scheds = [PlateauScheduler(self.lr) for _ in range(G)]
-        lr_vec = np.full((G,), self.lr, np.float32)
+        lr_vec = np.full((Gp,), self.lr, np.float32)
         best = np.full((G,), np.inf)
         bad = np.zeros((G,), int)
         stopped = np.zeros((G,), bool)
@@ -165,7 +216,8 @@ class GridTrainer:
                         k,
                     )
                     epoch_losses.append(loss)
-                batch_losses = np.stack([np.asarray(l) for l in epoch_losses])  # [n_b, G]
+                # [n_b, G]; padded dummy configs (mesh rounding) are dropped
+                batch_losses = np.stack([np.asarray(l) for l in epoch_losses])[:, :G]
                 if self.detect_anomaly and not np.all(np.isfinite(batch_losses)):
                     b, g = map(int, np.argwhere(~np.isfinite(batch_losses))[0])
                     raise FloatingPointError(
@@ -186,7 +238,7 @@ class GridTrainer:
                         )
                         vals.append(np.asarray(l))
                         weights.append(batch.get("n_real", len(batch["src_lengths"])))
-                    val_loss = np.average(np.stack(vals), axis=0, weights=weights)  # [G]
+                    val_loss = np.average(np.stack(vals), axis=0, weights=weights)[:G]
                 else:
                     val_loss = None
 

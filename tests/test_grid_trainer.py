@@ -218,3 +218,31 @@ def test_grid_history_length_matches_serial(tmp_path, data):
     for g, (din, dout) in enumerate(GRID):
         st = _serial(tmp_path, din, dout, train, valid, patience=1, max_epochs=12)
         assert len(gt.histories[g]) == len(st.history), (g, len(gt.histories[g]), len(st.history))
+
+
+def test_grid_mesh_config_sharding_matches_unsharded(tmp_path, data):
+    """Config-axis sharding over the mesh 'data' axis (incl. the padding a
+    non-divisible grid needs: G=3 over 2 devices -> Gp=4) must reproduce
+    the unsharded lockstep run exactly."""
+    from multimodaltopicsegmentation_tpu.parallel.mesh import make_mesh
+
+    train, valid = data
+    cfg = TaggerConfig(embedding_dim=12, hidden_dim=8, num_layers=1,
+                       loss_fn="FocalLoss")
+    runs = []
+    for mesh in (None, make_mesh(2, model_parallel=1)):
+        gt = GridTrainer("BiLSTM", cfg, GRID, lr=1e-2, max_epochs=4, patience=2,
+                         monitor="val_loss",
+                         check_dir=str(tmp_path / f"m{mesh is not None}"),
+                         seed=42, mesh=mesh)
+        gt.fit([dict(b) for b in train], [dict(b) for b in valid])
+        runs.append(gt)
+    for g in range(len(GRID)):
+        a = [h["training_loss"] for h in runs[0].histories[g]]
+        b = [h["training_loss"] for h in runs[1].histories[g]]
+        np.testing.assert_allclose(b, a, atol=1e-6, rtol=1e-6)
+        pa = runs[0].final_params(g)
+        pb = runs[1].final_params(g)
+        for x, y in zip(jax.tree.leaves(pa), jax.tree.leaves(pb)):
+            np.testing.assert_allclose(np.asarray(y), np.asarray(x),
+                                       atol=1e-5, rtol=1e-5)
