@@ -262,6 +262,28 @@ def main(args):
         )
     )
 
+    # validate --pipeline_stages up front, before any fold trains: a bad
+    # combination failing inside the per-config Trainer would waste the
+    # whole preceding grid/fold run
+    if pipeline_stages > 1:
+        if args.architecture != "Transformer":
+            raise SystemExit(
+                f"--pipeline_stages applies to -a Transformer, "
+                f"not {args.architecture!r}"
+            )
+        if len(jax.devices()) < pipeline_stages:
+            raise SystemExit(
+                f"--pipeline_stages {pipeline_stages} needs that many devices, "
+                f"have {len(jax.devices())}"
+            )
+        bad_nl = [nl for nl in search_space["number_layers"]
+                  if nl % pipeline_stages != 0]
+        if bad_nl:
+            raise SystemExit(
+                f"--pipeline_stages {pipeline_stages} does not divide the "
+                f"layer count(s) {bad_nl} in the search space"
+            )
+
     results_grid_f1 = {l: [] for l in search_space["number_layers"]}
     results_grid_pk = {l: [] for l in search_space["number_layers"]}
     results_grid_wd = {l: [] for l in search_space["number_layers"]}

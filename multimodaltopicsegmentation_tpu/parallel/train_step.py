@@ -83,28 +83,21 @@ def make_pipeline_train_step(seg, tx, pipe_mesh: Mesh, axis: str = "pipe") -> Ca
 
     from .pipeline import pipeline_transformer_loss
 
-    cache = {}
-
     def step(params, opt_state, src, lengths, tags, rng, extra):
-        n_micro = int(src.shape[0])
-        if n_micro not in cache:
-            def jit_step(params, opt_state, src, lengths, tags, rng,
-                         _n=n_micro):
-                def loss_fn(p):
-                    return pipeline_transformer_loss(
-                        pipe_mesh, seg, p, src, lengths, tags, _n,
-                        axis=axis, rng=rng,
-                    )
+        # src.shape[0] is concrete at trace time, so jit's own per-shape
+        # retrace cache handles varying batch sizes
+        def loss_fn(p):
+            return pipeline_transformer_loss(
+                pipe_mesh, seg, p, src, lengths, tags, int(src.shape[0]),
+                axis=axis, rng=rng,
+            )
 
-                loss, grads = jax.value_and_grad(loss_fn)(params)
-                updates, opt_state = tx.update(grads, opt_state, params)
-                params = _optax.apply_updates(params, updates)
-                return params, opt_state, loss
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = _optax.apply_updates(params, updates)
+        return params, opt_state, loss
 
-            cache[n_micro] = jax.jit(jit_step, donate_argnums=(0, 1))
-        return cache[n_micro](params, opt_state, src, lengths, tags, rng)
-
-    return step
+    return jax.jit(step, donate_argnums=(0, 1))
 
 
 def make_sharded_decode(arch, mesh: Mesh, params, threshold: float = 0.5) -> Callable:

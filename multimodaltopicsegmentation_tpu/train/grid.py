@@ -166,28 +166,11 @@ class GridTrainer:
         )
 
         # upload batches once (see loop.batches_to_device for the measured
-        # rationale); under a mesh, batches replicate (the CONFIG axis is
-        # the sharded one)
-        if self.mesh is not None:
-            from jax.sharding import NamedSharding, PartitionSpec as P
-
-            rep = NamedSharding(self.mesh, P())
-
-            def _rep_batches(bs):
-                return [
-                    {k: (jax.device_put(jnp.asarray(v), rep)
-                         if hasattr(v, "shape") else v)
-                     for k, v in b.items()}
-                    for b in bs
-                ]
-
-            train_batches = _rep_batches(train_batches)
-            if valid_batches:
-                valid_batches = _rep_batches(valid_batches)
-        else:
-            train_batches = batches_to_device(train_batches)
-            if valid_batches:
-                valid_batches = batches_to_device(valid_batches)
+        # rationale); under a mesh they replicate — the CONFIG axis is the
+        # sharded one, not the document axis
+        train_batches = batches_to_device(train_batches, self.mesh, replicate=True)
+        if valid_batches:
+            valid_batches = batches_to_device(valid_batches, self.mesh, replicate=True)
 
         scheds = [PlateauScheduler(self.lr) for _ in range(G)]
         lr_vec = np.full((Gp,), self.lr, np.float32)

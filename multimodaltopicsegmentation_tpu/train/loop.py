@@ -76,21 +76,29 @@ def _set_lr(opt_state, lr: float):
 _DEVICE_KEYS = ("src_tokens", "tgt_tokens", "src_lengths", "domain", "src_tokens2")
 
 
-def batches_to_device(batches: List[dict], mesh=None) -> List[dict]:
+def batches_to_device(batches: List[dict], mesh=None, replicate: bool = False) -> List[dict]:
     """Upload each batch's arrays ONCE before the epoch loop.
 
     Batches are constant across epochs; re-running jnp.asarray on host
     arrays every step re-ships them through the (remote) device link —
     measured ~265 ms per 16 MB batch on the axon tunnel vs a ~9 ms train
-    step. With a mesh, arrays are placed with their training shardings so
-    the jitted step never reshards them.
+    step. With a mesh, arrays are placed with their training shardings
+    (document axis over 'data') so the jitted step never reshards them —
+    or fully replicated with `replicate=True`, for callers that shard a
+    different axis (the grid trainer's config axis).
     """
     shardings = None
     if mesh is not None:
-        from ..parallel.mesh import batch_shardings
+        if replicate:
+            from jax.sharding import NamedSharding, PartitionSpec
 
-        shardings = batch_shardings(mesh)
-        shardings["src_tokens2"] = shardings["src_tokens"]
+            rep = NamedSharding(mesh, PartitionSpec())
+            shardings = {k: rep for k in _DEVICE_KEYS}
+        else:
+            from ..parallel.mesh import batch_shardings
+
+            shardings = batch_shardings(mesh)
+            shardings["src_tokens2"] = shardings["src_tokens"]
     out = []
     for batch in batches:
         db = dict(batch)

@@ -168,3 +168,20 @@ def test_trainer_pipeline_varied_batch_sizes(tmp_path):
     )
     _params, history = trainer.fit(batches + [small])
     assert np.isfinite(history[-1]["training_loss"])
+
+
+def test_cli_validates_pipeline_stages_up_front(tmp_path, monkeypatch):
+    """Bad --pipeline_stages combinations must die at startup, not after a
+    fold has trained."""
+    from multimodaltopicsegmentation_tpu.cli import train_fit as tf
+    from tests.synth import make_synthetic_corpus
+
+    emb_dir, labs, split = make_synthetic_corpus(str(tmp_path / "corpus"))
+    argv = [
+        "-exp", str(tmp_path / "exp"), "-arc", "BiLSTM",
+        "-enc", "wav2vec", "-ef", emb_dir, "-lf", labs,
+        "-max", "1", "-bs", "2", "-split", split,
+        "-s_last", "--pipeline_stages", "2",
+    ]
+    with pytest.raises(SystemExit, match="Transformer"):
+        tf.cli_main(argv)
