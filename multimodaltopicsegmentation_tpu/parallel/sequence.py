@@ -100,19 +100,41 @@ def sequence_sharded_transformer_decode(
     axis: str = "data",
 ):
     """Decode ONE batch of long documents with the UNIT axis sharded over
-    the mesh: each chip holds L/n units and runs the full transformer stack
-    on its slice; the only cross-chip communication is the per-layer
-    one-window halo exchange inside local attention (positional embeddings
-    are sliced at each shard's global offset). Numerics match the
-    single-device `TransformerSegmenter.decode` exactly.
+    the mesh (see sequence_sharded_transformer_scores)."""
+    from ..models.base import head_decode
+
+    logits = sequence_sharded_transformer_scores(
+        mesh, segmenter, params, x, lengths, axis=axis
+    )
+    return logits, head_decode(segmenter.cfg, logits, threshold)
+
+
+def sequence_sharded_transformer_scores(
+    mesh: Mesh,
+    segmenter,
+    params,
+    x: jnp.ndarray,
+    lengths: jnp.ndarray,
+    axis: str = "data",
+    train: bool = False,
+    rng=None,
+):
+    """Classifier logits with the UNIT axis sharded over the mesh: each
+    chip holds L/n units and runs the full transformer stack on its slice;
+    the only cross-chip communication is the per-layer one-window halo
+    exchange inside local attention (positional embeddings are sliced at
+    each shard's global offset). Numerics match the single-device
+    `TransformerSegmenter` exactly (valid region).
 
     x: [B, L, D] with L divisible by mesh.shape[axis]; the pyramidal
     per-layer window must not exceed the shard length (halo = window/2).
+    Differentiable (ppermute transposes to the reverse exchange), so
+    `sequence_sharded_transformer_loss` trains long documents that exceed
+    one chip's HBM. Dropout keys decorrelate per shard via fold_in.
     """
     from . import shard_map as _sm
 
     shard_map = _sm()
-    from ..models.base import head_decode
     from ..models.transformers import linear, merge_heads, split_heads
 
     enc = segmenter.encoder
@@ -137,8 +159,9 @@ def sequence_sharded_transformer_decode(
         start = lax.axis_index(axis) * Ls
         gpos = start + jnp.arange(Ls)
         mask = (gpos[None, :] < lens[:, None]).astype(x_sh.dtype)
+        key = None if rng is None else jax.random.fold_in(rng, lax.axis_index(axis))
         h = enc.apply(p["encoder"], x_sh, lens, attend_fn=attend,
-                      pos_offset=start, mask=mask)
+                      pos_offset=start, mask=mask, train=train, rng=key)
         return linear(p["cls"], h)
 
     fn = shard_map(
@@ -147,5 +170,25 @@ def sequence_sharded_transformer_decode(
         in_specs=(P(), P(None, axis, None), P()),
         out_specs=P(None, axis, None),
     )
-    logits = fn(params, x, lengths)
-    return logits, head_decode(segmenter.cfg, logits, threshold)
+    return fn(params, x, lengths)
+
+
+def sequence_sharded_transformer_loss(
+    mesh: Mesh,
+    segmenter,
+    params,
+    x: jnp.ndarray,
+    lengths: jnp.ndarray,
+    tags: jnp.ndarray,
+    axis: str = "data",
+    rng=None,
+):
+    """Training loss through the sequence-sharded stack (jit/grad the whole
+    function; parameter gradients psum over the shards automatically via
+    the shard_map transpose of the replicated param inputs)."""
+    from ..models.base import head_loss
+
+    logits = sequence_sharded_transformer_scores(
+        mesh, segmenter, params, x, lengths, axis=axis, train=True, rng=rng
+    )
+    return head_loss(segmenter.cfg, logits, lengths, tags)

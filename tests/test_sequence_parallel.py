@@ -112,3 +112,44 @@ def test_sequence_sharded_transformer_window_guard():
     with pytest.raises(AssertionError, match="widest window"):
         sequence_sharded_transformer_decode(mesh, seg, params, x,
                                             jnp.asarray([64]), 0.5)
+
+
+def test_sequence_sharded_transformer_loss_and_grads_match_dense():
+    """Training through the unit-sharded stack: loss and parameter
+    gradients must match the dense single-device TransformerSegmenter
+    (grad of the halo exchange = the reverse exchange; replicated param
+    cotangents psum over shards via the shard_map transpose)."""
+    from multimodaltopicsegmentation_tpu.models.base import TaggerConfig
+    from multimodaltopicsegmentation_tpu.models.registry import build
+    from multimodaltopicsegmentation_tpu.parallel.mesh import make_mesh
+    from multimodaltopicsegmentation_tpu.parallel.sequence import (
+        sequence_sharded_transformer_loss,
+    )
+
+    cfg = TaggerConfig(embedding_dim=16, hidden_dim=32, num_layers=2,
+                       nheads=2, attention_window=4, loss_fn="FocalLoss")
+    seg = build("Transformer", cfg)
+    params = seg.init(jax.random.PRNGKey(0))
+    mesh = make_mesh(4, model_parallel=1)
+
+    rng = np.random.default_rng(1)
+    B, L = 2, 64  # 16 units per shard, max pyramidal window 8 -> halo 4
+    x = jnp.asarray(rng.standard_normal((B, L, 16)), jnp.float32)
+    lengths = jnp.asarray([L, 50], jnp.int32)
+    tags = jnp.asarray((rng.random((B, L)) < 0.2).astype(np.float32))
+
+    ref_loss, ref_g = jax.value_and_grad(
+        lambda p: seg.loss(p, x, lengths, tags)
+    )(params)
+    with mesh:
+        sp_loss, sp_g = jax.jit(jax.value_and_grad(
+            lambda p: sequence_sharded_transformer_loss(
+                mesh, seg, p, x, lengths, tags
+            )
+        ))(params)
+
+    np.testing.assert_allclose(float(sp_loss), float(ref_loss), atol=1e-6, rtol=1e-6)
+    assert jax.tree.structure(ref_g) == jax.tree.structure(sp_g)
+    for a, b in zip(jax.tree.leaves(ref_g), jax.tree.leaves(sp_g)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=2e-5, rtol=2e-5)
