@@ -550,3 +550,38 @@ def test_crepe_matches_torch_replica(tmp_path, rng):
     # K=512 conv accumulation order differs between XLA and torch; the
     # global time-max then selects among near-ties -> ~5e-4 relative noise
     np.testing.assert_allclose(ours, ref, atol=1e-3, rtol=1e-3)
+
+
+def test_crdnn_vad_fbank_front_end_contract(rng):
+    """vad_fbank must implement speechbrain's documented STFT/Fbank chain:
+    zero center padding, periodic Hamming window, HTK mel triangles,
+    10*log10 with a per-utterance 80 dB floor, sentence mean subtraction —
+    locked against an independent numpy computation."""
+    from multimodaltopicsegmentation_tpu.encoders import crdnn_vad
+
+    sr, win, hop, n_mels = 16000, 400, 160, 40
+    audio = rng.standard_normal(sr // 4).astype(np.float32) * 0.3
+
+    got = np.asarray(crdnn_vad.vad_fbank(jnp.asarray(audio)))
+
+    padded = np.pad(audio, (win // 2, win // 2))
+    n_frames = 1 + (len(padded) - win) // hop
+    w = 0.54 - 0.46 * np.cos(2 * np.pi * np.arange(win) / win)  # periodic
+    frames = np.stack([padded[i * hop : i * hop + win] * w for i in range(n_frames)])
+    spec = np.abs(np.fft.rfft(frames, n=win, axis=-1)) ** 2
+    hz2mel = lambda f: 2595.0 * np.log10(1.0 + np.asarray(f, np.float64) / 700.0)
+    mel2hz = lambda m: 700.0 * (10.0 ** (np.asarray(m, np.float64) / 2595.0) - 1.0)
+    fftfreqs = np.linspace(0, sr / 2, win // 2 + 1)
+    mel_f = mel2hz(np.linspace(0.0, hz2mel(sr / 2), n_mels + 2))
+    bank = np.zeros((n_mels, len(fftfreqs)))
+    for m in range(n_mels):
+        lo, c, hi = mel_f[m], mel_f[m + 1], mel_f[m + 2]
+        up = (fftfreqs - lo) / (c - lo)
+        down = (hi - fftfreqs) / (hi - c)
+        bank[m] = np.maximum(0, np.minimum(up, down))
+    db = 10.0 * np.log10(np.maximum(spec @ bank.T, 1e-10))
+    db = np.maximum(db, db.max() - 80.0)
+    ref = db - db.mean(axis=0, keepdims=True)
+
+    assert got.shape == ref.shape == (n_frames, n_mels)
+    np.testing.assert_allclose(got, ref, atol=1e-3, rtol=1e-4)
