@@ -36,7 +36,11 @@ import re
 def _to_np(t):
     import numpy as np
 
-    return np.asarray(t.detach().cpu().numpy() if hasattr(t, "detach") else t)
+    # copy=True: torch's .numpy() shares storage with the live parameter, and
+    # downstream jnp.asarray on CPU is zero-copy too — without the copy the
+    # converted params would silently track later in-place optimizer updates
+    # of the source module
+    return np.array(t.detach().cpu().numpy() if hasattr(t, "detach") else t, copy=True)
 
 
 def _strip_prefix(state_dict: dict) -> dict:
@@ -52,8 +56,16 @@ def infer_architecture(sd: dict) -> str:
         return "biLSTMCRF"
     if any(k.startswith("model1.") for k in sd):
         return "BiLSTMLateFusion"
+    if any(k.startswith("forward_dense.") for k in sd):
+        return "SheikhBiLSTM"  # coherence scorer (models/CRF.py:980-1041)
+    if any(k.startswith(("model_1.", "classification_1.")) for k in sd):
+        return "SwitchBiLSTM"  # domain adaptation (models/CRF.py:1046-1270)
+    if any(k.startswith("lstm.rnn.") for k in sd):
+        return "SheikhBiLSTM"
     if any(k.startswith("lstm.") for k in sd):
         return "SimpleBiLSTM"  # bare nn.LSTM + `.classifier` head
+    if any(k.startswith("layers.") for k in sd):
+        return "MLP"
     return "BiLSTM"
 
 
@@ -88,13 +100,11 @@ def _convert_rnn_stack(sd: dict, prefix: str, layers: int, bidirectional: bool,
             w_hh = _to_np(sd[f"{prefix}.weight_hh_l{k}{suffix}"]).T
             b_ih = _to_np(sd[f"{prefix}.bias_ih_l{k}{suffix}"])
             b_hh = _to_np(sd[f"{prefix}.bias_hh_l{k}{suffix}"])
-            if is_lstm:
-                # LSTM applies both biases to the same pre-activation sum
-                entry[key] = {"w_ih": w_ih, "w_hh": w_hh, "b": b_ih + b_hh}
-            else:
-                # GRU's candidate gate needs b_hh INSIDE the reset product,
-                # so the two biases stay separate
-                entry[key] = {"w_ih": w_ih, "w_hh": w_hh, "b_ih": b_ih, "b_hh": b_hh}
+            # both cells keep b_ih/b_hh separate: the GRU needs b_hh inside
+            # the reset product, and the LSTM needs the torch two-tensor
+            # parametrization for optimizer-trajectory parity (each bias
+            # receives the full gradient under Adam; see ops/rnn.py)
+            entry[key] = {"w_ih": w_ih, "w_hh": w_hh, "b_ih": b_ih, "b_hh": b_hh}
         stack.append(entry)
     return stack
 
@@ -177,9 +187,78 @@ def convert_state_dict(state_dict: dict, architecture: str = None):
         }
         return params, cfg, "biLSTMCRF"
 
+    if architecture == "MLP":
+        # reference MLP keeps its hidden stack in `layers.{i}` and the head
+        # as `classifier` (models/CRF.py:860-871)
+        layers = []
+        i = 0
+        while f"layers.{i}.weight" in sd:
+            layers.append(_linear(sd, f"layers.{i}"))
+            i += 1
+        cls = _linear(sd, "classifier")
+        cfg = TaggerConfig(
+            embedding_dim=layers[0]["w"].shape[0], hidden_dim=layers[0]["w"].shape[1],
+            num_layers=i, loss_fn="BinaryCrossEntropy",
+        )
+        return {"layers": layers, "cls": cls}, cfg, "MLP"
+
+    if architecture == "SheikhBiLSTM":
+        # RNN wrapper stored as `lstm.rnn`, two projection heads
+        # (models/CRF.py:985-990); `classification` exists in the state_dict
+        # but is never used by loss/forward, so it is dropped here
+        layers, hidden, in_dim, bidir, is_lstm = _rnn_geometry(sd, "lstm.rnn")
+        cfg = TaggerConfig(
+            embedding_dim=in_dim, hidden_dim=hidden, num_layers=layers,
+            bidirectional=bidir, lstm=is_lstm, loss_fn="BinaryCrossEntropy",
+        )
+        params = {
+            "rnn": _convert_rnn_stack(sd, "lstm.rnn", layers, bidir, is_lstm),
+            "fwd_dense": _linear(sd, "forward_dense"),
+            "bwd_dense": _linear(sd, "backward_dense"),
+        }
+        return params, cfg, "SheikhBiLSTM"
+
+    if architecture == "SwitchBiLSTM":
+        # two layouts (models/CRF.py:1062-1110): switch='lstm' has twin
+        # towers `model_1`/`model_2` + one head; switch='dense' has one
+        # tower `model` + twin heads `classification_1`/`classification_2`
+        if any(k.startswith("model_1.") for k in sd):
+            layers, hidden, in_dim, bidir, is_lstm = _rnn_geometry(sd, "model_1.rnn")
+            cls = _linear(sd, "classification")
+            out = cls["w"].shape[1]
+            cfg = TaggerConfig(
+                embedding_dim=in_dim, hidden_dim=hidden, num_layers=layers,
+                tagset_size=max(out, 2), bidirectional=bidir, lstm=is_lstm,
+                switch="lstm",
+                loss_fn="CrossEntropy" if out > 1 else "BinaryCrossEntropy",
+            )
+            params = {
+                "rnn1": _convert_rnn_stack(sd, "model_1.rnn", layers, bidir, is_lstm),
+                "rnn2": _convert_rnn_stack(sd, "model_2.rnn", layers, bidir, is_lstm),
+                "cls": cls,
+            }
+            return params, cfg, "SwitchBiLSTM"
+        layers, hidden, in_dim, bidir, is_lstm = _rnn_geometry(sd, "model.rnn")
+        cls1 = _linear(sd, "classification_1")
+        cls2 = _linear(sd, "classification_2")
+        out = cls1["w"].shape[1]
+        cfg = TaggerConfig(
+            embedding_dim=in_dim, hidden_dim=hidden, num_layers=layers,
+            tagset_size=max(out, 2), bidirectional=bidir, lstm=is_lstm,
+            switch="dense",
+            loss_fn="CrossEntropy" if out > 1 else "BinaryCrossEntropy",
+        )
+        params = {
+            "rnn": _convert_rnn_stack(sd, "model.rnn", layers, bidir, is_lstm),
+            "cls1": cls1,
+            "cls2": cls2,
+        }
+        return params, cfg, "SwitchBiLSTM"
+
     raise ValueError(
         f"no conversion rule for architecture {architecture!r}; supported: "
-        "BiLSTM, BiLSTMLateFusion, biLSTMCRF"
+        "BiLSTM, BiLSTMLateFusion, biLSTMCRF, SimpleBiLSTM, MLP, "
+        "SheikhBiLSTM, SwitchBiLSTM"
     )
 
 

@@ -1,0 +1,429 @@
+"""Parity against the reference's ACTUAL code, not replicas of it.
+
+Every other parity test in this suite compares against an in-tree torch
+re-implementation of the reference modules.  This module instead imports the
+real classes from /root/reference (never copying them), transplants their
+weights into the framework via the production converter
+(tools/convert_reference_checkpoint.convert_state_dict), and asserts
+boundary-identical decode and matching loss values on CPU.
+
+The only scaffolding needed to execute the reference in this image is a
+one-line stub for `models.longformer_noffn`, which ships as .pyc only
+(/root/reference/models/__pycache__) and is unused by the LSTM-family
+classes under test.
+
+Reference defects worked around here (each documented at its test; see
+SURVEY.md §7 "Known reference defects"):
+- BiRnnCrf.loss/forward unpack one tensor into two (models/CRF.py:263,271)
+  -> the CRF layer is driven directly through its submodules.
+- MLP.forward / SimpleBiLSTM.forward / SheikhBiLSTM.forward read an unset
+  `self.th` (models/CRF.py:887,972,1036) -> `ref.th = None` is set.
+- SwitchBiLSTM with a MIXED-domain batch is broken in both modes
+  ('lstm' passes a python list where RNN expects a tensor,
+  models/CRF.py:1146; 'dense' regroups rows of the full-batch projection
+  by group-local index, models/CRF.py:1197-1200) -> parity is asserted on
+  pure-domain batches, the only batches the reference executes correctly.
+"""
+import dataclasses
+import sys
+import types
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+import optax
+import torch
+
+from multimodaltopicsegmentation_tpu.models.base import TaggerConfig
+from multimodaltopicsegmentation_tpu.models.registry import build
+from multimodaltopicsegmentation_tpu.ops import losses as losses_lib
+from multimodaltopicsegmentation_tpu.ops import rnn as rnn_lib
+from multimodaltopicsegmentation_tpu.ops.masks import length_mask
+from multimodaltopicsegmentation_tpu.tools.convert_reference_checkpoint import (
+    convert_state_dict,
+)
+
+REF = "/root/reference"
+
+
+@pytest.fixture(scope="module")
+def ref():
+    """Import the reference's real model modules (read-only, never copied)."""
+    if "models.longformer_noffn" not in sys.modules:
+        stub = types.ModuleType("models.longformer_noffn")
+        stub.LongformerLayer = type("LongformerLayer", (), {})
+        sys.modules["models.longformer_noffn"] = stub
+    sys.path.insert(0, REF)
+    try:
+        import importlib
+
+        crf = importlib.import_module("models.CRF")
+        na = importlib.import_module("models.NeuralArchitectures")
+        fl = importlib.import_module("models.focal_loss")
+    finally:
+        sys.path.remove(REF)
+    assert crf.__file__.startswith(REF), crf.__file__
+    return types.SimpleNamespace(CRF=crf, NA=na, focal=fl)
+
+
+def transplant(ref_module, architecture=None):
+    """reference nn.Module -> (framework params, TaggerConfig, arch name).
+
+    Keys are prefixed with 'model.' to present the TextSegmenter checkpoint
+    layout the production converter consumes (lightning_model.py wraps every
+    tagger as `self.model`)."""
+    sd = {f"model.{k}": v for k, v in ref_module.state_dict().items()}
+    params, cfg, arch = convert_state_dict(sd, architecture)
+    return jax.tree_util.tree_map(jnp.asarray, params), cfg, arch
+
+
+def batch(rng, B=4, L=40, D=12, lengths=(40, 33, 21, 17), ce=False):
+    x = rng.standard_normal((B, L, D)).astype(np.float32)
+    lengths = np.asarray(lengths, np.int64)
+    tags = (rng.random((B, L)) < 0.2).astype(np.float32)
+    pad = np.arange(L)[None, :] >= lengths[:, None]
+    if ce:
+        tags = np.where(pad, -1.0, tags)  # CE ignore_index convention
+    else:
+        tags = np.where(pad, 0.0, tags)
+    return x, lengths, tags
+
+
+def assert_boundaries_identical(fw_tags, ref_tag_lists, lengths):
+    fw = np.asarray(fw_tags)
+    for b, ref_list in enumerate(ref_tag_lists):
+        got = fw[b][: len(ref_list)].astype(int).tolist()
+        want = [int(v) for v in ref_list]
+        assert got == want, f"doc {b}: {got} != {want}"
+
+
+# ---------------------------------------------------------------------------
+# focal loss — the exact callable every paper config trains with
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("alpha,gamma", [(0.9, 2.0), (0.25, 2.0), (-1.0, 1.0)])
+def test_focal_loss_matches_reference(ref, rng, alpha, gamma):
+    logits = rng.standard_normal(64).astype(np.float32) * 3
+    targets = (rng.random(64) < 0.3).astype(np.float32)
+    ref_fn = ref.focal.sigmoid_focal_loss(alpha=alpha, gamma=gamma, reduction="mean")
+    want = ref_fn(torch.from_numpy(logits), torch.from_numpy(targets)).item()
+    got = losses_lib.sigmoid_focal_loss(
+        jnp.asarray(logits), jnp.asarray(targets), jnp.ones(64), alpha, gamma
+    )
+    np.testing.assert_allclose(float(got), want, rtol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# the RNN wrapper itself (models/NeuralArchitectures.py:23-145)
+# ---------------------------------------------------------------------------
+
+def test_rnn_wrapper_unidirectional_gru(ref, rng):
+    """The reference's GRU path is only executable unidirectionally (the
+    bidirectional branch hands nn.GRU an LSTM-style state tuple,
+    NeuralArchitectures.py:113); parity is on the working path."""
+    D, H = 10, 7
+    tm = ref.NA.RNN(D, H, num_layers=1, bidirectional=False, LSTM=False).eval()
+    x, lengths, _ = batch(rng, D=D)
+    with torch.no_grad():
+        want = tm(torch.from_numpy(x)).numpy()  # no lengths: unpadded path
+    sd = tm.state_dict()
+    p = {
+        "w_ih": jnp.asarray(sd["rnn.weight_ih_l0"].numpy().T),
+        "w_hh": jnp.asarray(sd["rnn.weight_hh_l0"].numpy().T),
+        "b_ih": jnp.asarray(sd["rnn.bias_ih_l0"].numpy()),
+        "b_hh": jnp.asarray(sd["rnn.bias_hh_l0"].numpy()),
+    }
+    got = rnn_lib.unidirectional_rnn(p, jnp.asarray(x), None, "gru")
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# BiLSTM (models/CRF.py:274-369) — the paper's workhorse
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("loss_fn", ["CrossEntropy", "BinaryCrossEntropy", "FocalLoss"])
+@pytest.mark.parametrize("layers", [1, 2])
+def test_bilstm_decode_and_loss(ref, rng, loss_fn, layers):
+    torch.manual_seed(3)
+    D, H = 12, 8
+    tm = ref.CRF.BiLSTM(
+        2, D, H, num_layers=layers, loss_fn=loss_fn, device="cpu"
+    ).eval()
+    params, cfg, arch = transplant(tm)
+    assert arch == "BiLSTM"
+    assert cfg.hidden_dim == H and cfg.num_layers == layers
+    # FocalLoss and BinaryCrossEntropy share the width-1 head, so the
+    # converter (correctly) cannot tell them apart from shapes alone and
+    # defaults to BCE — decode is identical either way; for LOSS parity the
+    # training-time loss must be re-declared, as the reference CLI does via
+    # its -loss flag (train_fit.py:713)
+    cfg = dataclasses.replace(cfg, loss_fn=loss_fn)
+    model = build(arch, cfg)
+
+    x, lengths, tags = batch(rng, D=D, ce=loss_fn == "CrossEntropy")
+    lt = torch.from_numpy(lengths)
+
+    for threshold in (0.3, 0.4, 0.5):
+        with torch.no_grad():
+            scores_t, ref_tags = tm(torch.from_numpy(x), lt, threshold)
+        scores_j, tags_j = model.decode(
+            params, jnp.asarray(x), jnp.asarray(lengths), threshold
+        )
+        assert_boundaries_identical(tags_j, ref_tags, lengths)
+    for b, Lb in enumerate(lengths):
+        np.testing.assert_allclose(
+            np.asarray(scores_j)[b, :Lb], scores_t.numpy()[b, :Lb], atol=1e-5
+        )
+
+    with torch.no_grad():
+        want = tm.loss(torch.from_numpy(x), lt, torch.from_numpy(tags)).item()
+    got = model.loss(params, jnp.asarray(x), jnp.asarray(lengths), jnp.asarray(tags))
+    np.testing.assert_allclose(float(got), want, rtol=2e-5, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# BiLSTMLateFusion (models/CRF.py:371-479)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("loss_fn", ["FocalLoss", "CrossEntropy"])
+def test_latefusion_decode_and_loss(ref, rng, loss_fn):
+    torch.manual_seed(4)
+    D1, D2, H = 12, 9, 8
+    tm = ref.CRF.BiLSTMLateFusion(
+        2, (D1, D2), H, num_layers=1, loss_fn=loss_fn, device="cpu"
+    ).eval()
+    params, cfg, arch = transplant(tm)
+    assert arch == "BiLSTMLateFusion"
+    assert (cfg.embedding_dim, cfg.embedding_dim2) == (D1, D2)
+    cfg = dataclasses.replace(cfg, loss_fn=loss_fn)
+    model = build(arch, cfg)
+
+    x1, lengths, tags = batch(rng, D=D1, ce=loss_fn == "CrossEntropy")
+    x2 = rng.standard_normal((4, 40, D2)).astype(np.float32)
+    lt = torch.from_numpy(lengths)
+
+    with torch.no_grad():
+        scores_t, ref_tags = tm(torch.from_numpy(x1), torch.from_numpy(x2), lt, 0.4)
+    scores_j, tags_j = model.decode(
+        params, jnp.asarray(x1), jnp.asarray(lengths), 0.4, x2=jnp.asarray(x2)
+    )
+    assert_boundaries_identical(tags_j, ref_tags, lengths)
+
+    with torch.no_grad():
+        want = tm.loss(
+            torch.from_numpy(x1), torch.from_numpy(x2), lt, torch.from_numpy(tags)
+        ).item()
+    got = model.loss(
+        params, jnp.asarray(x1), jnp.asarray(lengths), jnp.asarray(tags),
+        x2=jnp.asarray(x2),
+    )
+    np.testing.assert_allclose(float(got), want, rtol=2e-5, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# BiRnnCrf (models/CRF.py:243-272) — driven through its submodules because
+# its own loss/forward unpack one tensor into two (the :263 defect)
+# ---------------------------------------------------------------------------
+
+def test_birnncrf_loss_and_viterbi(ref, rng):
+    torch.manual_seed(5)
+    D, H = 12, 8
+    tm = ref.CRF.BiRnnCrf(2, D, H, num_layers=1).eval()
+    tm.device = "cpu"
+    params, cfg, arch = transplant(tm)
+    assert arch == "biLSTMCRF"
+    model = build(arch, cfg)
+
+    x, lengths, tags = batch(rng, D=D)
+    lt = torch.from_numpy(lengths)
+    masks = ref.CRF.create_mask(torch.from_numpy(x), lt)
+
+    with torch.no_grad():
+        features = tm.model(torch.from_numpy(x), lt)
+        want_loss = tm.crf.loss(features, torch.from_numpy(tags), masks=masks).item()
+        want_score, want_paths = tm.crf(features, masks)
+
+    got_loss = model.loss(
+        params, jnp.asarray(x), jnp.asarray(lengths), jnp.asarray(tags)
+    )
+    np.testing.assert_allclose(float(got_loss), want_loss, rtol=2e-5)
+
+    got_score, got_paths = model.decode(params, jnp.asarray(x), jnp.asarray(lengths))
+    assert_boundaries_identical(got_paths, want_paths, lengths)
+    np.testing.assert_allclose(
+        np.asarray(got_score), want_score.numpy(), rtol=1e-5
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimpleBiLSTM (models/CRF.py:895-977) and MLP (:860-892)
+# ---------------------------------------------------------------------------
+
+def test_simple_bilstm(ref, rng):
+    torch.manual_seed(6)
+    D, H = 12, 8
+    tm = ref.CRF.SimpleBiLSTM(D, H, layers=1).eval()
+    tm.th = None  # reference forward reads an attribute __init__ never sets
+    params, cfg, arch = transplant(tm)
+    assert arch == "SimpleBiLSTM"
+    model = build(arch, cfg)
+
+    # full lengths: the reference's BCE scores padding too, ours masks it —
+    # they only agree when there is no padding
+    x, lengths, tags = batch(rng, D=D, lengths=(40, 40, 40, 40))
+    lt = torch.from_numpy(lengths)
+
+    with torch.no_grad():
+        want = tm.loss(torch.from_numpy(x), lt, torch.from_numpy(tags)).item()
+    got = model.loss(params, jnp.asarray(x), jnp.asarray(lengths), jnp.asarray(tags))
+    np.testing.assert_allclose(float(got), want, rtol=2e-5)
+
+    with torch.no_grad():
+        _, ref_tags = tm(torch.from_numpy(x), lt, 0.4)
+    _, tags_j = model.decode(params, jnp.asarray(x), jnp.asarray(lengths), 0.4)
+    assert_boundaries_identical(tags_j, ref_tags, lengths)
+
+
+def test_mlp(ref, rng):
+    torch.manual_seed(7)
+    D, H = 12, 8
+    tm = ref.CRF.MLP(D, H, layers=2).eval()
+    tm.th = None  # same unset-attribute defect as SimpleBiLSTM
+    params, cfg, arch = transplant(tm)
+    assert arch == "MLP" and cfg.num_layers == 2
+    model = build(arch, cfg)
+
+    x, lengths, tags = batch(rng, D=D, lengths=(40, 40, 40, 40))
+    lt = torch.from_numpy(lengths)
+
+    with torch.no_grad():
+        want = tm.loss(torch.from_numpy(x), lt, torch.from_numpy(tags)).item()
+    got = model.loss(params, jnp.asarray(x), jnp.asarray(lengths), jnp.asarray(tags))
+    np.testing.assert_allclose(float(got), want, rtol=2e-5)
+
+    with torch.no_grad():
+        _, ref_tags = tm(torch.from_numpy(x), lt, 0.4)
+    _, tags_j = model.decode(params, jnp.asarray(x), jnp.asarray(lengths), 0.4)
+    assert_boundaries_identical(tags_j, ref_tags, lengths)
+
+
+# ---------------------------------------------------------------------------
+# SheikhBiLSTM (models/CRF.py:980-1041)
+# ---------------------------------------------------------------------------
+
+def test_sheikh_bilstm(ref, rng):
+    torch.manual_seed(8)
+    D, H = 12, 8
+    tm = ref.CRF.SheikhBiLSTM(2, D, H, num_layers=1, dropout_in=0.0).eval()
+    tm.th = None  # unset-attribute defect again (models/CRF.py:1036)
+    params, cfg, arch = transplant(tm)
+    assert arch == "SheikhBiLSTM"
+    model = build(arch, cfg)
+
+    x, lengths, tags = batch(rng, D=D)
+    lt = torch.from_numpy(lengths)
+
+    with torch.no_grad():
+        want = tm.loss(torch.from_numpy(x), lt, torch.from_numpy(tags)).item()
+    got = model.loss(params, jnp.asarray(x), jnp.asarray(lengths), jnp.asarray(tags))
+    np.testing.assert_allclose(float(got), want, rtol=2e-5, atol=1e-6)
+
+    with torch.no_grad():
+        scores_t, ref_tags = tm(torch.from_numpy(x), lt, 0.4)
+    scores_j, tags_j = model.decode(params, jnp.asarray(x), jnp.asarray(lengths), 0.4)
+    assert_boundaries_identical(tags_j, ref_tags, lengths)
+    for b, Lb in enumerate(lengths):
+        np.testing.assert_allclose(
+            np.asarray(scores_j)[b, :Lb, 0], scores_t.numpy()[b, :Lb, 0], atol=1e-5
+        )
+
+
+# ---------------------------------------------------------------------------
+# SwitchBiLSTM (models/CRF.py:1046-1270) — pure-domain batches only (the
+# reference's mixed-batch paths are defective, see module docstring)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("mode", ["dense", "lstm"])
+@pytest.mark.parametrize("domain", [0, 1])
+def test_switch_bilstm(ref, rng, mode, domain):
+    torch.manual_seed(9)
+    D, H = 12, 8
+    tm = ref.CRF.SwitchBiLSTM(
+        2, D, H, num_layers=1, loss_fn="FocalLoss", device="cpu",
+        switch_lstm_adapt=mode == "lstm", switch_dense_adapt=mode == "dense",
+    ).eval()
+    params, cfg, arch = transplant(tm)
+    assert arch == "SwitchBiLSTM" and cfg.switch == mode
+    cfg = dataclasses.replace(cfg, loss_fn="FocalLoss")
+    model = build(arch, cfg)
+
+    x, lengths, tags = batch(rng, D=D)
+    lt = torch.from_numpy(lengths)
+    domains = [domain] * 4
+
+    with torch.no_grad():
+        want = tm.loss(
+            torch.from_numpy(x), lt, torch.from_numpy(tags), domains
+        ).item()
+    got = model.loss(
+        params, jnp.asarray(x), jnp.asarray(lengths), jnp.asarray(tags),
+        jnp.asarray(domains),
+    )
+    np.testing.assert_allclose(float(got), want, rtol=2e-5, atol=1e-6)
+
+    with torch.no_grad():
+        _, ref_tags = tm(torch.from_numpy(x), lt, domains, 0.4)
+    _, tags_j = model.decode(
+        params, jnp.asarray(x), jnp.asarray(lengths), jnp.asarray(domains), 0.4
+    )
+    assert_boundaries_identical(tags_j, ref_tags, lengths)
+
+
+# ---------------------------------------------------------------------------
+# training trajectory: same weights + same optimizer settings -> same losses
+# (reference optimizer: Adam(lr, eps=1e-7), lightning_model.py:759-781)
+# ---------------------------------------------------------------------------
+
+def test_training_trajectory_matches_reference(ref, rng):
+    torch.manual_seed(10)
+    D, H, steps, lr = 12, 8, 6, 1e-3
+    tm = ref.CRF.BiLSTM(2, D, H, num_layers=1, loss_fn="FocalLoss", device="cpu")
+    params, cfg, arch = transplant(tm)
+    cfg = dataclasses.replace(cfg, loss_fn="FocalLoss")
+    model = build(arch, cfg)
+
+    x, lengths, tags = batch(rng, D=D)
+    lt = torch.from_numpy(lengths)
+
+    opt_t = torch.optim.Adam(tm.parameters(), lr=lr, eps=1e-7)
+    ref_losses = []
+    for _ in range(steps):
+        opt_t.zero_grad()
+        loss = tm.loss(torch.from_numpy(x), lt, torch.from_numpy(tags))
+        loss.backward()
+        ref_losses.append(loss.item())
+        opt_t.step()
+
+    opt = optax.adam(lr, eps=1e-7)
+    opt_state = opt.init(params)
+    loss_fn = jax.jit(
+        lambda p: model.loss(p, jnp.asarray(x), jnp.asarray(lengths), jnp.asarray(tags))
+    )
+    grad_fn = jax.jit(jax.value_and_grad(
+        lambda p: model.loss(p, jnp.asarray(x), jnp.asarray(lengths), jnp.asarray(tags))
+    ))
+    fw_losses = []
+    for _ in range(steps):
+        loss, grads = grad_fn(params)
+        fw_losses.append(float(loss))
+        updates, opt_state = opt.update(grads, opt_state)
+        params = optax.apply_updates(params, updates)
+
+    np.testing.assert_allclose(fw_losses, ref_losses, rtol=5e-4, atol=1e-6)
+    # and the post-training decodes still agree
+    with torch.no_grad():
+        _, ref_tags = tm.eval()(torch.from_numpy(x), lt, 0.5)
+    _, tags_j = model.decode(params, jnp.asarray(x), jnp.asarray(lengths), 0.5)
+    assert_boundaries_identical(tags_j, ref_tags, lengths)

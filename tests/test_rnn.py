@@ -109,8 +109,10 @@ def test_init_shapes_and_forget_bias():
     p = R.lstm_params(jax.random.PRNGKey(0), 16, 8)
     assert p["w_ih"].shape == (16, 32)
     assert p["w_hh"].shape == (8, 32)
-    np.testing.assert_array_equal(np.asarray(p["b"][8:16]), np.ones(8, np.float32))
-    np.testing.assert_array_equal(np.asarray(p["b"][:8]), np.zeros(8, np.float32))
+    # torch-parity split biases: forget-gate 1 lives on b_ih, b_hh all-zero
+    np.testing.assert_array_equal(np.asarray(p["b_ih"][8:16]), np.ones(8, np.float32))
+    np.testing.assert_array_equal(np.asarray(p["b_ih"][:8]), np.zeros(8, np.float32))
+    np.testing.assert_array_equal(np.asarray(p["b_hh"]), np.zeros(32, np.float32))
     # orthogonality of recurrent weights (per 4 gate blocks it's one matrix)
     w = np.asarray(p["w_hh"])
     np.testing.assert_allclose(w @ w.T, np.eye(8) * (w @ w.T)[0, 0], atol=1e-4)
