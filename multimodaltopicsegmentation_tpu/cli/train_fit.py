@@ -160,9 +160,13 @@ def main(args):
 
     mesh = None
     pipeline_stages = int(getattr(args, "pipeline_stages", 0) or 0)
-    if pipeline_stages > 1:
-        # the pipeline owns the devices; Trainer validates architecture,
-        # layer divisibility and device count
+    sequence_shards = int(getattr(args, "sequence_shards", 0) or 0)
+    expert_parallel = {"auto": None, "on": True, "off": False}[
+        getattr(args, "expert_parallel", "auto")
+    ]
+    if pipeline_stages > 1 or sequence_shards > 1:
+        # the pipeline / sequence shards own the devices; Trainer validates
+        # architecture, divisibility and device count
         pass
     elif len(jax.devices()) > 1:
         from ..parallel.mesh import make_mesh
@@ -284,6 +288,37 @@ def main(args):
                 f"layer count(s) {bad_nl} in the search space"
             )
 
+    # validate --sequence_shards up front, same rationale
+    if sequence_shards > 1:
+        if pipeline_stages > 1:
+            raise SystemExit("--sequence_shards and --pipeline_stages are exclusive")
+        if args.architecture != "Transformer":
+            raise SystemExit(
+                f"--sequence_shards applies to -a Transformer (local "
+                f"attention), not {args.architecture!r}"
+            )
+        if not args.self_attention_window:
+            raise SystemExit(
+                "--sequence_shards needs local attention: set -window/"
+                "--self_attention_window"
+            )
+        if len(jax.devices()) < sequence_shards:
+            raise SystemExit(
+                f"--sequence_shards {sequence_shards} needs that many devices, "
+                f"have {len(jax.devices())}"
+            )
+
+    if expert_parallel is True:
+        if args.architecture != "SwitchBiLSTM" or args.switch != "lstm":
+            raise SystemExit(
+                "--expert_parallel on applies to -a SwitchBiLSTM with "
+                "--switch lstm (twin LSTM towers)"
+            )
+        if len(jax.devices()) < 2:
+            raise SystemExit(
+                f"--expert_parallel on needs 2 devices, have {len(jax.devices())}"
+            )
+
     results_grid_f1 = {l: [] for l in search_space["number_layers"]}
     results_grid_pk = {l: [] for l in search_space["number_layers"]}
     results_grid_wd = {l: [] for l in search_space["number_layers"]}
@@ -315,14 +350,35 @@ def main(args):
     # vmapped program per fold (train/grid.py) instead of sequentially —
     # eligible when the grid varies only dropout (the paper's grids do)
     pregrid = {}
-    if (
-        getattr(args, "parallel_grid", False)
-        and not args.infer
-        and args.architecture == "BiLSTM"
-        and len(search_space["hidden_units"]) == 1
-        and len(search_space["number_layers"]) == 1
-        and len(hyperparameters) > 1
-    ):
+    use_parallel_grid = False
+    if getattr(args, "parallel_grid", False) and not args.infer:
+        from ..train.grid import GridTrainer as _GT
+
+        # be honest about eligibility: a silently-ignored -pg looks like a
+        # lockstep run but trains serially (round-2 review finding)
+        why = None
+        if args.architecture not in _GT.SUPPORTED:
+            why = (
+                f"architecture {args.architecture!r} is not lockstep-eligible "
+                f"(supported: {', '.join(_GT.SUPPORTED)})"
+            )
+        elif len(search_space["hidden_units"]) > 1 or len(search_space["number_layers"]) > 1:
+            why = (
+                "the grid varies hidden_units/number_layers (parameter shapes "
+                "differ across configs; only dropout-only grids run lockstep)"
+            )
+        elif len(hyperparameters) <= 1:
+            why = "the grid has a single configuration (nothing to batch)"
+        if why is None:
+            use_parallel_grid = True
+        else:
+            import sys as _sys
+
+            msg = f"--parallel_grid ignored: {why}; training serially."
+            print(f"WARNING: {msg}", file=_sys.stderr)
+            with open("logs", "a") as f:
+                f.write(msg + "\n")
+    if use_parallel_grid:
         from ..train.grid import GridTrainer
         from ..utils import profiling
 
@@ -398,7 +454,7 @@ def main(args):
                 nheads=args.number_heads,
                 attention_window=args.self_attention_window,
                 positional_encoding=args.positional_encoding,
-                switch="dense",
+                switch=getattr(args, "switch", "dense"),
                 cosine_loss=args.cosine_loss,
             )
 
@@ -419,6 +475,8 @@ def main(args):
                 zero_baseline=args.zero_baseline,
                 mesh=mesh,
                 pipeline_stages=pipeline_stages,
+                sequence_shards=sequence_shards,
+                expert_parallel=expert_parallel,
             )
 
             from ..utils import profiling
@@ -580,6 +638,11 @@ def main(args):
     output = [
         "Results for experiment {} with following parameters:".format(args.experiment_name),
         "Sentence encoder: {}".format(args.encoder),
+        # additive vs the reference contract: records the second modality so
+        # predict.py can drive late-fusion checkpoints end to end (the line
+        # does NOT start with 'Sentence encoder', so reference parsers that
+        # match that prefix are unaffected)
+        *(["Second sentence encoder: {}".format(args.encoder2)] if double else []),
         "Neural architecture: {}".format(args.architecture),
         "Batch size: {}".format(args.batch_size),
         "Hidden units: {}".format(best_hu),
@@ -685,6 +748,17 @@ def build_parser() -> argparse.ArgumentParser:
     # many devices (GPipe microbatching, parallel/pipeline.py); replaces
     # the DP/TP mesh for that run
     parser.add_argument("--pipeline_stages", "-pps", type=int, default=0)
+    # sequence (context) parallelism: shard the UNIT axis of long documents
+    # over N chips (Transformer + local attention only, parallel/sequence.py)
+    parser.add_argument("--sequence_shards", "-sqs", type=int, default=0)
+    # expert parallelism for SwitchBiLSTM twin towers (parallel/expert.py):
+    # auto = shard when --switch lstm and >=2 devices; off = dense both-towers
+    parser.add_argument(
+        "--expert_parallel", default="auto", choices=["auto", "on", "off"]
+    )
+    # SwitchBiLSTM adaptation mode (the reference's TextSegmenter `switch`
+    # parameter, lightning_model.py:227-241 — never exposed by its CLI)
+    parser.add_argument("--switch", default="dense", choices=["dense", "lstm"])
     parser.add_argument("--hidden_units_search_space", "-huss", nargs="*", type=int)
     parser.add_argument("--number_layers_search_space", "-nlss", nargs="*", type=int)
     parser.add_argument("--dropout_in_search_space", "-diss", nargs="*", type=float)

@@ -132,17 +132,18 @@ class BiLSTMLateFusion:
     def scores(self, params, x, lengths, train=False, rng=None, x2=None) -> jnp.ndarray:
         return linear(params["cls"], self._hidden(params, x, lengths, train, rng, x2))
 
-    def _hidden(self, params, x, lengths, train, rng, x2):
+    def _hidden(self, params, x, lengths, train, rng, x2, rates=None):
         if rng is not None:
             r1, r2 = jax.random.split(rng)
         else:
             r1 = r2 = None
-        h1 = rnn_stack_apply(params["rnn1"], self.cfg, x, lengths, train, r1)
-        h2 = rnn_stack_apply(params["rnn2"], self.cfg, x2, lengths, train, r2)
+        h1 = rnn_stack_apply(params["rnn1"], self.cfg, x, lengths, train, r1, rates)
+        h2 = rnn_stack_apply(params["rnn2"], self.cfg, x2, lengths, train, r2, rates)
         return jnp.concatenate([h1, h2], axis=-1)
 
-    def loss(self, params, x, lengths, tags, rng=None, x2=None) -> jnp.ndarray:
-        h = self._hidden(params, x, lengths, True, rng, x2)
+    def loss(self, params, x, lengths, tags, rng=None, x2=None,
+             dropout_rates=None) -> jnp.ndarray:
+        h = self._hidden(params, x, lengths, True, rng, x2, rates=dropout_rates)
         logits = linear(params["cls"], h)
         loss = head_loss(self.cfg, logits, lengths, tags)
         if self.cfg.cosine_loss:

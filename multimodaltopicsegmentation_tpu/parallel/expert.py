@@ -104,11 +104,12 @@ def expert_sharded_switch_loss(
     domains: jnp.ndarray,
     axis: str = "expert",
     rng=None,
+    train: bool = True,
 ) -> jnp.ndarray:
     from ..models.base import head_loss
 
     logits = expert_sharded_switch_scores(
-        mesh, model, params, x, lengths, domains, axis=axis, train=True, rng=rng
+        mesh, model, params, x, lengths, domains, axis=axis, train=train, rng=rng
     )
     return head_loss(model.cfg, logits, lengths, tags)
 

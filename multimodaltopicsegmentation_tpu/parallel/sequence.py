@@ -182,13 +182,15 @@ def sequence_sharded_transformer_loss(
     tags: jnp.ndarray,
     axis: str = "data",
     rng=None,
+    train: bool = True,
 ):
     """Training loss through the sequence-sharded stack (jit/grad the whole
     function; parameter gradients psum over the shards automatically via
-    the shard_map transpose of the replicated param inputs)."""
+    the shard_map transpose of the replicated param inputs). `train=False`
+    gives the deterministic (dropout-free) loss for validation monitoring."""
     from ..models.base import head_loss
 
     logits = sequence_sharded_transformer_scores(
-        mesh, segmenter, params, x, lengths, axis=axis, train=True, rng=rng
+        mesh, segmenter, params, x, lengths, axis=axis, train=train, rng=rng
     )
     return head_loss(segmenter.cfg, logits, lengths, tags)

@@ -40,7 +40,12 @@ class GridTrainer:
     `Trainer` would: a history and a best-checkpoint path (in a
     config-unique subdirectory of `check_dir`)."""
 
-    SUPPORTED = ("BiLSTM",)
+    # architectures whose parameter shapes are dropout-invariant AND whose
+    # loss threads traced dropout rates (BiLSTM, BiLSTMLateFusion) or has no
+    # dropout at all (SimpleBiLSTM — the reference's class has none either,
+    # models/CRF.py:895-977, so its dropout "grid" degenerates to identical
+    # configs exactly as it does serially)
+    SUPPORTED = ("BiLSTM", "BiLSTMLateFusion", "SimpleBiLSTM")
 
     def __init__(
         self,
@@ -66,6 +71,7 @@ class GridTrainer:
             )
         self.arch_name = architecture
         self.arch = registry.build(architecture, cfg)
+        self.double = registry.is_double_input(architecture)
         self.cfg = cfg
         self.grid = [(float(d), float(o)) for d, o in grid]
         self.lr = lr
@@ -122,11 +128,23 @@ class GridTrainer:
         tx = make_optimizer(self.optimizer_name, self.lr, self.clip)
         rates = jnp.asarray(pad_grid, jnp.float32)  # [Gp, 2]
 
-        def one_step(p, s, rate, x, lengths, tags, k):
-            def loss_fn(q):
+        arch_name = self.arch_name
+
+        def arch_loss(q, x, lengths, tags, k, rate, x2):
+            if arch_name == "SimpleBiLSTM":  # no dropout in this architecture
+                return arch.loss(q, x, lengths, tags, rng=k)
+            if self.double:
                 return arch.loss(
-                    q, x, lengths, tags, rng=k, dropout_rates=(rate[0], rate[1])
+                    q, x, lengths, tags, rng=k, x2=x2,
+                    dropout_rates=(rate[0], rate[1]),
                 )
+            return arch.loss(
+                q, x, lengths, tags, rng=k, dropout_rates=(rate[0], rate[1])
+            )
+
+        def one_step(p, s, rate, x, lengths, tags, k, x2):
+            def loss_fn(q):
+                return arch_loss(q, x, lengths, tags, k, rate, x2)
 
             loss, grads = jax.value_and_grad(loss_fn)(p)
             updates, s = tx.update(grads, s, p)
@@ -144,24 +162,27 @@ class GridTrainer:
             rates = jax.device_put(rates, NamedSharding(self.mesh, P("data")))
             jit_kw = dict(
                 in_shardings=(g_shard, None, NamedSharding(self.mesh, P("data")),
-                              rep, rep, rep, rep),
+                              rep, rep, rep, rep, rep),
                 out_shardings=(g_shard, None, None),
             )
         opt_state = jax.vmap(tx.init)(params)  # inherits params' shardings
         step = jax.jit(
-            jax.vmap(one_step, in_axes=(0, 0, 0, None, None, None, None)),
+            jax.vmap(one_step, in_axes=(0, 0, 0, None, None, None, None, None)),
             donate_argnums=(0, 1),
             **jit_kw,
         )
         # validation is deterministic (no dropout) so rates do not enter
         eval_kw = {}
         if self.mesh is not None:
-            eval_kw = dict(in_shardings=(jit_kw["in_shardings"][0],) + (rep,) * 3)
+            eval_kw = dict(in_shardings=(jit_kw["in_shardings"][0],) + (rep,) * 4)
+
+        def eval_one(p, x, l, t, x2):
+            if self.double:
+                return arch.loss(p, x, l, t, rng=None, x2=x2)
+            return arch.loss(p, x, l, t, rng=None)
+
         eval_loss = jax.jit(
-            jax.vmap(
-                lambda p, x, l, t: arch.loss(p, x, l, t, rng=None),
-                in_axes=(0, None, None, None),
-            ),
+            jax.vmap(eval_one, in_axes=(0, None, None, None, None)),
             **eval_kw,
         )
 
@@ -189,14 +210,19 @@ class GridTrainer:
                 epoch_losses = []
                 for bi, batch in enumerate(train_batches):
                     rng, k = jax.random.split(rng)
+                    src = jnp.asarray(batch["src_tokens"])
+                    # unused (and DCE'd) unless the architecture is double-
+                    # input; reusing src keeps the jit signature stable
+                    x2 = jnp.asarray(batch["src_tokens2"]) if self.double else src
                     params, opt_state, loss = step(
                         params,
                         opt_state,
                         rates,
-                        jnp.asarray(batch["src_tokens"]),
+                        src,
                         jnp.asarray(batch["src_lengths"]),
                         jnp.asarray(batch["tgt_tokens"]),
                         k,
+                        x2,
                     )
                     epoch_losses.append(loss)
                 # [n_b, G]; padded dummy configs (mesh rounding) are dropped
@@ -213,11 +239,16 @@ class GridTrainer:
                 if valid_batches:
                     vals, weights = [], []
                     for batch in valid_batches:
+                        src = jnp.asarray(batch["src_tokens"])
+                        x2 = (
+                            jnp.asarray(batch["src_tokens2"]) if self.double else src
+                        )
                         l = eval_loss(
                             params,
-                            jnp.asarray(batch["src_tokens"]),
+                            src,
                             jnp.asarray(batch["src_lengths"]),
                             jnp.asarray(batch["tgt_tokens"]),
+                            x2,
                         )
                         vals.append(np.asarray(l))
                         weights.append(batch.get("n_real", len(batch["src_lengths"])))

@@ -157,6 +157,8 @@ class Trainer:
         mesh=None,
         detect_anomaly: Optional[bool] = None,
         pipeline_stages: int = 0,
+        sequence_shards: int = 0,
+        expert_parallel: Optional[bool] = None,
     ):
         self.arch_name = architecture
         self.arch = registry.build(architecture, cfg)
@@ -203,6 +205,60 @@ class Trainer:
                 )
             self.pipe_mesh = make_pipeline_mesh(pipeline_stages)
             self.mesh = None  # pipeline owns the devices
+        # sequence (context) parallelism: shard the UNIT axis of long
+        # documents over a ('seq',) mesh — transformer/local-attention only
+        # (parallel/sequence.py); mutually exclusive with DP/TP and pipeline
+        self.seq_mesh = None
+        if sequence_shards and sequence_shards > 1:
+            from jax.sharding import Mesh
+            from ..models.transformers import TransformerSegmenter
+
+            if self.pipe_mesh is not None:
+                raise ValueError("sequence_shards and pipeline_stages are exclusive")
+            if not isinstance(self.arch, TransformerSegmenter):
+                raise ValueError(
+                    f"sequence_shards applies to the Transformer architecture "
+                    f"(local attention), got {architecture!r}"
+                )
+            if not getattr(self.arch.encoder, "windows", None):
+                raise ValueError(
+                    "sequence_shards needs LOCAL attention (set attention_window)"
+                )
+            if len(jax.devices()) < sequence_shards:
+                raise ValueError(
+                    f"sequence_shards={sequence_shards} needs that many "
+                    f"devices, have {len(jax.devices())}"
+                )
+            self.seq_mesh = Mesh(jax.devices()[:sequence_shards], ("seq",))
+            self.mesh = None  # the unit axis owns the devices
+        # expert parallelism: SwitchBiLSTM 'lstm' towers sharded one-per-
+        # device-group (parallel/expert.py). Auto-enables when the tagger is
+        # the twin-tower SwitchBiLSTM and >=2 devices exist — the dense DP
+        # fallback would run BOTH towers on every chip.
+        self.expert_mesh = None
+        if expert_parallel is None:
+            expert_parallel = (
+                self.domain
+                and cfg.switch == "lstm"
+                and self.pipe_mesh is None
+                and self.seq_mesh is None
+                and len(jax.devices()) >= 2
+            )
+        if expert_parallel:
+            from ..parallel.expert import N_EXPERTS, make_expert_mesh
+
+            if not self.domain or cfg.switch != "lstm":
+                raise ValueError(
+                    "expert_parallel applies to SwitchBiLSTM with "
+                    f"switch='lstm', got {architecture!r} (switch={cfg.switch!r})"
+                )
+            if len(jax.devices()) < N_EXPERTS:
+                raise ValueError(
+                    f"expert_parallel needs {N_EXPERTS} devices, "
+                    f"have {len(jax.devices())}"
+                )
+            self.expert_mesh = make_expert_mesh()
+            self.mesh = None  # the expert axis owns the devices
         # NaN tripwire, the analogue of the reference's always-on Lightning
         # Trainer(detect_anomaly=True) (/root/reference/train_fit.py:289)
         if detect_anomaly is None:
@@ -224,6 +280,20 @@ class Trainer:
                 from ..parallel.train_step import make_pipeline_train_step
 
                 self._step_jit = make_pipeline_train_step(arch, tx, self.pipe_mesh)
+                return self._step_jit
+
+            if self.seq_mesh is not None or self.expert_mesh is not None:
+                loss_of = self._parallel_loss_fn()
+
+                def step(params, opt_state, src, lengths, tags, rng, extra):
+                    loss, grads = jax.value_and_grad(
+                        lambda p: loss_of(p, src, lengths, tags, rng, extra, True)
+                    )(params)
+                    updates, opt_state = tx.update(grads, opt_state, params)
+                    params = optax.apply_updates(params, updates)
+                    return params, opt_state, loss
+
+                self._step_jit = jax.jit(step, donate_argnums=(0, 1))
                 return self._step_jit
 
             if self.mesh is not None:
@@ -251,9 +321,46 @@ class Trainer:
             self._step_jit = jax.jit(step, donate_argnums=(0, 1))
         return self._step_jit
 
+    def _parallel_loss_fn(self):
+        """Loss closure for the sequence- and expert-parallel Trainer modes
+        (signature: params, src, lengths, tags, rng, extra, train)."""
+        arch = self.arch
+        if self.seq_mesh is not None:
+            from ..parallel.sequence import sequence_sharded_transformer_loss
+
+            mesh = self.seq_mesh
+
+            def loss_of(p, src, lengths, tags, rng, extra, train):
+                return sequence_sharded_transformer_loss(
+                    mesh, arch, p, src, lengths, tags, axis="seq", rng=rng,
+                    train=train,
+                )
+
+            return loss_of
+        from ..parallel.expert import expert_sharded_switch_loss
+
+        mesh = self.expert_mesh
+
+        def loss_of(p, src, lengths, tags, rng, extra, train):
+            return expert_sharded_switch_loss(
+                mesh, arch, p, src, lengths, tags, extra["domain"], rng=rng,
+                train=train,
+            )
+
+        return loss_of
+
     def _eval_loss(self):
         if self._loss_jit is None:
             arch = self.arch
+
+            if self.seq_mesh is not None or self.expert_mesh is not None:
+                loss_of = self._parallel_loss_fn()
+                self._loss_jit = jax.jit(
+                    lambda params, src, lengths, tags, extra: loss_of(
+                        params, src, lengths, tags, None, extra, False
+                    )
+                )
+                return self._loss_jit
 
             def eval_loss(params, src, lengths, tags, extra):
                 if self.domain:
@@ -299,6 +406,30 @@ class Trainer:
         out["n_real"] = batch.get("n_real", B)
         return out
 
+    def _pad_unit_axis(self, batch: dict) -> dict:
+        """Pad the UNIT axis for sequence sharding: L must divide by the
+        shard count AND each shard must hold at least the widest attention
+        half-window (parallel/sequence.py halo). Pad units get tag -1 and
+        zero features; lengths are unchanged, so masked losses and decode
+        slicing are untouched."""
+        if self.seq_mesh is None:
+            return batch
+        n = self.seq_mesh.shape["seq"]
+        L = np.asarray(batch["src_tokens"]).shape[1]
+        windows = getattr(self.arch.encoder, "windows", None) or [0]
+        shard_len = max(-(-L // n), max(windows) // 2)
+        pad = shard_len * n - L
+        if pad == 0:
+            return batch
+        out = dict(batch)
+        for key in ("src_tokens", "tgt_tokens", "src_tokens2"):
+            if key in batch and hasattr(batch[key], "shape"):
+                arr = np.asarray(batch[key])
+                widths = [(0, 0), (0, pad)] + [(0, 0)] * (arr.ndim - 2)
+                fill = -1.0 if key == "tgt_tokens" else 0
+                out[key] = np.pad(arr, widths, constant_values=fill)
+        return out
+
     # -- fit ----------------------------------------------------------------
     def fit(self, train_batches: List[dict], valid_batches: Optional[List[dict]] = None):
         rng = jax.random.PRNGKey(self.seed)
@@ -309,6 +440,10 @@ class Trainer:
             self._train_step(params)  # builds the sharded step + placer
             params = self._place_params(params)
             train_batches = [self._pad_batch_axis(b) for b in train_batches]
+        if self.seq_mesh is not None:
+            train_batches = [self._pad_unit_axis(b) for b in train_batches]
+            if valid_batches:
+                valid_batches = [self._pad_unit_axis(b) for b in valid_batches]
         opt_state = self.tx.init(params)
         train_batches = self._to_device(train_batches)
         if valid_batches:
@@ -431,6 +566,8 @@ class Trainer:
         per_doc, all_scores = [], []
 
         for batch in test_batches:
+            if self.seq_mesh is not None:
+                batch = self._pad_unit_axis(batch)
             src = jnp.asarray(batch["src_tokens"])
             lengths = jnp.asarray(batch["src_lengths"])
             if self.zero_baseline:
@@ -439,7 +576,27 @@ class Trainer:
             else:
                 if decode is None:
                     arch = self.arch
-                    if self.domain:
+                    if self.seq_mesh is not None:
+                        from ..parallel.sequence import (
+                            sequence_sharded_transformer_decode,
+                        )
+
+                        seq_mesh = self.seq_mesh
+                        decode = jax.jit(
+                            lambda p, x, l: sequence_sharded_transformer_decode(
+                                seq_mesh, arch, p, x, l, threshold, axis="seq"
+                            )
+                        )
+                    elif self.expert_mesh is not None:
+                        from ..parallel.expert import expert_sharded_switch_decode
+
+                        ex_mesh = self.expert_mesh
+                        decode = jax.jit(
+                            lambda p, x, l, d: expert_sharded_switch_decode(
+                                ex_mesh, arch, p, x, l, d, threshold
+                            )
+                        )
+                    elif self.domain:
                         decode = jax.jit(lambda p, x, l, d: arch.decode(p, x, l, d, threshold))
                     elif self.double:
                         decode = jax.jit(lambda p, x, l, x2: arch.decode(p, x, l, threshold, x2=x2))
