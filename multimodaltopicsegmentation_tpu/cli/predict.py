@@ -138,12 +138,16 @@ class Predictor(BasePredictor):
         threshold=0.5,
         sr=16000,
     ):
-        encoder = architecture = None
+        encoder = encoder2 = architecture = None
         hu = nl = None
         with open(hyperparameter_file) as f:
             for line in f.readlines():
                 if line.startswith("Sentence encoder"):
                     encoder = line.split()[2]
+                elif line.startswith("Second sentence encoder"):
+                    # written by this framework's train_fit for -enc2 runs
+                    # (additive vs the reference results.txt contract)
+                    encoder2 = line.split()[3]
                 elif line.startswith("Neural architecture"):
                     architecture = line.split()[2]
                 elif line.startswith("Hidden units"):
@@ -151,6 +155,7 @@ class Predictor(BasePredictor):
                 elif line.startswith("Number of layers"):
                     nl = int(line.split()[3])
         self.encoder = encoder
+        self.encoder2 = encoder2
         self.architecture = architecture
 
         # our checkpoints carry the full config; rebuild only if absent
@@ -176,15 +181,24 @@ class Predictor(BasePredictor):
                     "checkpoint (see tools/convert_reference_checkpoint.py): "
                     f"{e}"
                 ) from e
-        # mirror the reference's explicit gate (predict.py:218-225): the
-        # predict flow decodes one embedding stream per document, which
-        # domain-adaptation and late-fusion taggers cannot do — fail HERE,
-        # before any embedding extraction happens
-        if registry.is_domain_adapt(arch_name) or registry.is_double_input(arch_name):
+        # the reference's predict cannot drive late fusion at all
+        # (predict.py:218-225 has no BiLSTMLateFusion branch); here it works
+        # when the training results.txt recorded the second encoder — both
+        # modalities are extracted from the same units and decoded together.
+        # Domain adaptation stays unsupported (predict has no domain ids).
+        self.double = registry.is_double_input(arch_name)
+        if registry.is_domain_adapt(arch_name):
             raise NotImplementedError(
                 f"predict does not support architecture {arch_name!r}: it "
-                "needs extra per-document inputs (domain ids / a second "
-                "modality) that the raw-audio predict pipeline cannot provide"
+                "needs per-document domain ids that the raw-audio predict "
+                "pipeline cannot provide"
+            )
+        if self.double and encoder2 is None:
+            raise ValueError(
+                f"architecture {arch_name!r} needs a second modality but "
+                f"{hyperparameter_file!r} has no 'Second sentence encoder' "
+                "line (train with this framework's train_fit -enc2 to "
+                "record it)"
             )
         self.params = params
         self.cfg = cfg
@@ -206,6 +220,7 @@ class Predictor(BasePredictor):
         num_gpus=0,
         verbose=False,
         add_overlap=1,
+        embedding_folder2=None,
     ):
         import jax
         import jax.numpy as jnp
@@ -219,8 +234,21 @@ class Predictor(BasePredictor):
         embeddings, file_names = load_dataset_for_inference_with_names(embedding_folder)
         if verbose:
             print(f"Segmenting the following files:\n{file_names}")
+        embeddings2 = None
+        if self.double:
+            assert embedding_folder2 is not None, (
+                "late-fusion predict needs the second modality's embedding "
+                "folder (-ef2)"
+            )
+            embeddings2, names2 = load_dataset_for_inference_with_names(
+                embedding_folder2
+            )
+            assert names2 == file_names, (
+                f"second-modality folder {embedding_folder2!r} does not hold "
+                f"the same documents as {embedding_folder!r}"
+            )
 
-        if len(jax.devices()) > 1:
+        if len(jax.devices()) > 1 and not self.double:
             # shard documents over the 'data' mesh axis (ICI data parallelism)
             from ..parallel.mesh import make_mesh
             from ..parallel.train_step import make_sharded_decode
@@ -233,11 +261,15 @@ class Predictor(BasePredictor):
             def decode(p, x, l):
                 with mesh:
                     return sharded(p, x, l)
+        elif self.double:
+            decode = jax.jit(
+                lambda p, x, l, x2: self.arch.decode(p, x, l, self.th, x2=x2)
+            )
         else:
             decode = jax.jit(lambda p, x, l: self.arch.decode(p, x, l, self.th))
         results = []
         docs = [(e, [0] * len(e), n) for e, n in zip(embeddings, file_names)]
-        multi = len(jax.devices()) > 1
+        multi = len(jax.devices()) > 1 and not self.double
         for i in range(0, len(docs), batch_size):
             chunk = docs[i : i + batch_size]
             batch = pad_batch(
@@ -246,11 +278,24 @@ class Predictor(BasePredictor):
                 bucket=True,
                 pad_batch_to=batch_size if (multi and len(chunk) < batch_size) else None,
             )
-            scores, tags = decode(
-                self.params,
-                jnp.asarray(batch["src_tokens"]),
-                jnp.asarray(batch["src_lengths"]),
-            )
+            if self.double:
+                chunk2 = [
+                    (e, [0] * len(e), n)
+                    for e, n in zip(embeddings2[i : i + batch_size], file_names[i:])
+                ]
+                batch2 = pad_batch(chunk2, crf=False, bucket=True)
+                scores, tags = decode(
+                    self.params,
+                    jnp.asarray(batch["src_tokens"]),
+                    jnp.asarray(batch["src_lengths"]),
+                    jnp.asarray(batch2["src_tokens"]),
+                )
+            else:
+                scores, tags = decode(
+                    self.params,
+                    jnp.asarray(batch["src_tokens"]),
+                    jnp.asarray(batch["src_lengths"]),
+                )
             tags = np.asarray(tags)
             for j in range(len(chunk)):
                 L = int(batch["src_lengths"][j])
@@ -355,6 +400,10 @@ def build_parser():
     parser = MyParser(description="Raw audio -> topic segments inference")
     parser.add_argument("--extract_embeddings", "-ee", action="store_true")
     parser.add_argument("--embedding_folder", "-ef", type=str, required=True)
+    # second modality for late-fusion checkpoints (beyond the reference,
+    # whose predict has no BiLSTMLateFusion support); defaults to
+    # <embedding_folder>_enc2 when the checkpoint is double-input
+    parser.add_argument("--embedding_folder2", "-ef2", type=str, default=None)
     parser.add_argument("--hyperparameter_file", "-hyp", type=str)
     parser.add_argument("--best_model_path", "-model", type=str)
     parser.add_argument("--experiment_name", "-exp", default="new_experiment", type=str)
@@ -391,22 +440,32 @@ def cli_main(argv=None):
             threshold=args.threshold,
         )
 
-    if args.extract_embeddings:
-        predictor.create_embeddings(
-            predictor.encoder,
-            args.audio_folder,
-            args.embedding_folder,
-            args.uniform_interval,
-            args.adaptive_uniform,
-            args.verbose,
-            True,
-        )
-        pooling_idx = predictor.encoder.find("_")
-        if pooling_idx > -1:
-            args.embedding_folder = os.path.join(
-                args.embedding_folder, predictor.encoder[pooling_idx:]
-            )
+    double = getattr(predictor, "double", False)
+    if double and args.embedding_folder2 is None:
+        args.embedding_folder2 = args.embedding_folder.rstrip("/\\") + "_enc2"
 
+    if args.extract_embeddings:
+        streams = [(predictor.encoder, "embedding_folder")]
+        if double:
+            streams.append((predictor.encoder2, "embedding_folder2"))
+        for enc, attr in streams:
+            folder = getattr(args, attr)
+            predictor.create_embeddings(
+                enc,
+                args.audio_folder,
+                folder,
+                args.uniform_interval,
+                args.adaptive_uniform,
+                args.verbose,
+                True,
+            )
+            pooling_idx = enc.find("_")
+            if pooling_idx > -1:
+                setattr(args, attr, os.path.join(folder, enc[pooling_idx:]))
+
+    kw = {}
+    if double:
+        kw["embedding_folder2"] = args.embedding_folder2
     return predictor.predict(
         args.embedding_folder,
         args.experiment_name,
@@ -415,6 +474,7 @@ def cli_main(argv=None):
         batch_size=args.batch_size,
         num_gpus=args.num_gpus,
         verbose=args.verbose,
+        **kw,
     )
 
 

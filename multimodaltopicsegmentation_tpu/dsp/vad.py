@@ -121,6 +121,29 @@ def vad_posteriors(audio: np.ndarray, sr: int) -> np.ndarray:
 
 
 _CRDNN_CACHE: dict = {}
+_warned_fallback = False
+
+
+def _warn_energy_fallback():
+    """One loud notice when VAD mode runs without neural weights: the
+    energy-logistic posterior produces DIFFERENT unit boundaries than a
+    SpeechBrain-CRDNN-weighted run, so downstream labels/metrics are not
+    comparable to the reference's VAD-mode extractions."""
+    global _warned_fallback
+    if _warned_fallback:
+        return
+    _warned_fallback = True
+    import sys
+
+    print(
+        "WARNING: MTS_VAD_WEIGHTS is not set — VAD is using the built-in "
+        "energy-logistic posterior, NOT the SpeechBrain CRDNN the reference "
+        "uses (extract_embeddings.py:116-118). Unit boundaries will differ "
+        "from a reference VAD run. Convert weights with "
+        "`tools/convert_weights.py crdnn_vad` and set MTS_VAD_WEIGHTS to "
+        "silence this.",
+        file=sys.stderr,
+    )
 
 
 def default_posteriors(audio: np.ndarray, sr: int) -> np.ndarray:
@@ -132,6 +155,7 @@ def default_posteriors(audio: np.ndarray, sr: int) -> np.ndarray:
 
     path = os.environ.get("MTS_VAD_WEIGHTS")
     if not path:
+        _warn_energy_fallback()
         return vad_posteriors(audio, sr)
     from ..encoders import crdnn_vad
 

@@ -1,15 +1,19 @@
-"""Audio IO: WAV decode + resampling, with a native C++ fast path.
+"""Audio IO: WAV + MP3 decode + resampling, with a native C++ fast path.
 
 The reference loads audio through librosa/soundfile (libsndfile + soxr
-native code, e.g. /root/reference/extract_embeddings.py:490-496). Neither
-library nor any mp3 decoder ships in this image, so:
+native code, e.g. /root/reference/extract_embeddings.py:490-496), and its
+mp3 support comes from librosa's audioread fallback delegating to a system
+decoder. The same decision here:
 
 - WAV (PCM/float) decodes through the C++ `runtime/` loader when built
   (mmap + SIMD-friendly int->float conversion + polyphase resample), with a
   scipy.io.wavfile fallback;
+- MP3 (`extract_embeddings.py:207-224` pairs `.mp3/.wav` transcripts)
+  decodes through SDL_mixer via pygame when installed — the exact
+  third-party-decoder delegation the reference's audioread path makes —
+  with a clear actionable error when no decoder is available;
 - resampling to 16 kHz uses polyphase filtering (scipy.signal.resample_poly
-  — same algorithm family as librosa's default);
-- mp3 raises a clear actionable error (the reference corpora also ship wav).
+  — same algorithm family as librosa's default).
 """
 from __future__ import annotations
 
@@ -30,15 +34,55 @@ def _load_native():
     return _native
 
 
+# MP3s decode to this intermediate rate (SDL_mixer converts on load; 44.1 k
+# is the native rate of nearly all broadcast mp3s, so the conversion is
+# usually an identity), then our polyphase resampler takes it to target_sr
+_MP3_DECODE_SR = 44100
+_mp3_lock = None
+
+
+def _decode_mp3(path: str) -> Tuple[np.ndarray, int]:
+    """mp3 -> (mono float32, sr) via SDL_mixer (pygame).
+
+    The reference's own mp3 support is the same delegation one level
+    removed: librosa -> audioread -> a system decoder
+    (extract_embeddings.py:490 loads whatever create_database paired at
+    :207-224). SDL_mixer's decode is time-exact (duration is preserved
+    across requested frequencies)."""
+    try:
+        os.environ.setdefault("SDL_AUDIODRIVER", "dummy")
+        import pygame
+        import pygame.sndarray
+    except ImportError as e:
+        raise RuntimeError(
+            f"{path}: mp3 decoding needs the 'pygame' package (SDL_mixer) "
+            "or a prior conversion to wav (`ffmpeg -i in.mp3 out.wav`); "
+            "neither ffmpeg nor pygame is available here."
+        ) from e
+
+    # pygame's mixer is process-global state; serialize decodes (the
+    # prefetcher runs load_audio from worker threads)
+    global _mp3_lock
+    if _mp3_lock is None:
+        import threading
+
+        _mp3_lock = threading.Lock()
+    with _mp3_lock:
+        if not pygame.mixer.get_init():
+            pygame.mixer.init(frequency=_MP3_DECODE_SR, size=-16, channels=2)
+        freq, _size, _ch = pygame.mixer.get_init()
+        data = pygame.sndarray.array(pygame.mixer.Sound(path))
+    return _to_float_mono(np.asarray(data)), freq
+
+
 def load_audio(path: str, target_sr: int = 16000) -> Tuple[np.ndarray, int]:
     """-> (mono float32 in [-1, 1] at target_sr, target_sr)."""
     ext = os.path.splitext(path)[1].lower()
     if ext == ".mp3":
-        raise RuntimeError(
-            f"{path}: mp3 decoding requires ffmpeg, which is not available in "
-            "this environment. Convert to wav (e.g. `ffmpeg -i in.mp3 out.wav`) "
-            "before extraction."
-        )
+        audio, sr = _decode_mp3(path)
+        if sr != target_sr:
+            audio = resample(audio, sr, target_sr)
+        return audio.astype(np.float32), target_sr
     if ext != ".wav":
         raise ValueError(f"unsupported audio format: {path}")
 

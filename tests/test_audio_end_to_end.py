@@ -157,3 +157,65 @@ def test_extract_wav2vec_smoke(tmp_path, monkeypatch):
     for name in labs:
         n_units = np.load(os.path.join(mean_dir, name + ".npy")).shape[0]
         assert len(labs[name]) == n_units
+
+
+@pytest.mark.slow
+def test_late_fusion_raw_audio_predict(tmp_path):
+    """BASELINE.md 'late fusion ensemble + raw-audio end-to-end predict':
+    train -arc BiLSTMLateFusion through the real train_fit.py, then drive
+    raw audio -> segmented wavs through the real predict.py with the
+    late-fusion checkpoint (the reference predict.py has no late-fusion
+    support at all, predict.py:218-225 — this is beyond-parity)."""
+    import json as _json
+
+    from multimodaltopicsegmentation_tpu.cli.extract_embeddings import (
+        build_parser as extract_parser,
+        main as extract_main,
+    )
+    import multimodaltopicsegmentation_tpu.cli.train_fit as tf
+    from multimodaltopicsegmentation_tpu.cli.predict import cli_main as predict_main
+
+    audio_dir, data_dir, lab_path = make_audio_corpus(str(tmp_path))
+    emb_dir = str(tmp_path / "emb")
+    lab_out = str(tmp_path / "labs")
+    extract_main(extract_parser().parse_args([
+        "-data", data_dir, "-audio", audio_dir, "-od", emb_dir,
+        "-lab", lab_path, "-lod", lab_out, "--mfcc", "-vd", "-ui", "1.0",
+    ]))
+    files = sorted(f for f in os.listdir(emb_dir) if f.endswith(".npy"))
+    split_path = str(tmp_path / "split.json")
+    with open(split_path, "w") as f:
+        _json.dump({"train": files[:1], "test": files[1:2], "validation": files[2:]}, f)
+
+    # both modalities are mfcc streams here — the plumbing under test is the
+    # two-tower train + two-stream predict, not the encoders themselves
+    exp = str(tmp_path / "exp_lf")
+    cwd = os.getcwd()
+    try:
+        tf.main(tf.build_parser().parse_args([
+            "-exp", exp, "-arc", "BiLSTMLateFusion", "-enc", "mfcc",
+            "-enc2", "mfcc", "-ef", emb_dir, "-ef2", emb_dir,
+            "-lf", os.path.join(lab_out, "labs_dict.pkl"),
+            "-lr", "1e-2", "-bs", "2", "-max", "4", "-vp", "0.3", "-pat", "5",
+            "-loss", "FocalLoss", "-s_last", "-split", split_path,
+            "-hu", "16", "-nl", "1",
+        ]))
+    finally:
+        os.chdir(cwd)
+    txt = open(os.path.join(exp, "results.txt")).read()
+    assert "Second sentence encoder: mfcc" in txt
+
+    pred_emb = str(tmp_path / "pred_emb")
+    pred_exp = str(tmp_path / "pred_exp")
+    results = predict_main([
+        "-ee", "-ef", pred_emb, "-hyp", os.path.join(exp, "results.txt"),
+        "-model", os.path.join(exp, "checkpoints", "best_model"),
+        "-exp", pred_exp, "-af", audio_dir, "-ui", "1.0", "-th", "0.5",
+    ])
+    assert len(results) == 3
+    # second-modality stream was extracted into the derived _enc2 folder
+    assert os.path.isdir(pred_emb + "_enc2")
+    with open(os.path.join(pred_exp, "results.pkl"), "rb") as f:
+        res = pickle.load(f)
+    assert len(res) == 3
+    assert os.path.exists(os.path.join(pred_exp, "audio_segments"))

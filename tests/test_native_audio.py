@@ -1,4 +1,6 @@
 """Native C++ audio runtime: decode, resample, and parallel batch loading."""
+import os
+
 import numpy as np
 import pytest
 from scipy.io import wavfile
@@ -126,3 +128,58 @@ def test_stereo_integer_wav_scaling(tmp_path):
     )
     audio, _ = load_audio(path, target_sr=sr)
     assert np.max(np.abs(audio)) < 1.0
+
+
+MP3_SAMPLE = "/opt/venv/lib/python3.12/site-packages/pygame/examples/data/house_lo.mp3"
+
+
+def _has_mp3_decoder():
+    try:
+        import pygame  # noqa: F401
+
+        return os.path.exists(MP3_SAMPLE)
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(not _has_mp3_decoder(), reason="no pygame/sample mp3")
+def test_load_audio_mp3():
+    """mp3 decodes through the SDL_mixer delegation (the same third-party-
+    decoder decision the reference's librosa->audioread path makes,
+    extract_embeddings.py:207-224 pairs .mp3 transcripts)."""
+    from multimodaltopicsegmentation_tpu.utils.audio import load_audio
+
+    audio, sr = load_audio(MP3_SAMPLE, target_sr=16000)
+    assert sr == 16000 and audio.dtype == np.float32 and audio.ndim == 1
+    dur = len(audio) / sr
+    assert 7.0 < dur < 7.5, dur  # known sample length ~7.26 s
+    assert np.all(np.isfinite(audio))
+    rms = float(np.sqrt(np.mean(audio**2)))
+    assert 0.01 < rms < 1.0, rms  # real signal, correctly scaled to [-1, 1]
+
+
+@pytest.mark.skipif(not _has_mp3_decoder(), reason="no pygame/sample mp3")
+def test_extract_inference_on_mp3(tmp_path):
+    """The inference extractor accepts .mp3 inputs end to end (the file
+    discovery always matched them; decode now works too)."""
+    import shutil
+    from types import SimpleNamespace
+
+    from multimodaltopicsegmentation_tpu.cli.extract_embeddings_inference import (
+        main as eei_main,
+    )
+
+    audio_dir = tmp_path / "audio"
+    audio_dir.mkdir()
+    shutil.copy(MP3_SAMPLE, audio_dir / "doc0.mp3")
+    out = str(tmp_path / "emb")
+    eei_main(SimpleNamespace(
+        vad=False, speechbrain=True, ecapa=False, openl3=False, wav2vec=False,
+        CREPE=False, prosodic_feats=False, mfcc=True,
+        audio_directory=str(audio_dir), out_directory=out,
+        uniform_interval=1.0, adaptive_uniform_segmentation=False,
+        verbose=False, continue_from_check=False,
+    ))
+    emb = np.load(os.path.join(out, "doc0.npy"))
+    assert emb.shape == (7, 200)  # ~7.26 s of audio -> 7 one-second units
+    assert np.all(np.isfinite(emb))

@@ -192,3 +192,144 @@ def test_add_dataset_merges_sibling_corpus(tmp_path, monkeypatch):
     args.embedding_folder = "Podcast/emb"
     with pytest.raises(ValueError, match="RadioNews or NonNews"):
         add_dataset(args, folds)
+
+
+@pytest.mark.slow
+def test_parallel_grid_warns_when_ineligible(tmp_path, capsys):
+    """-pg on a non-lockstep architecture must say so instead of silently
+    training serially (round-2 review item)."""
+    corpus = tmp_path / "corpus"
+    emb_dir, lab_file, split = make_synthetic_corpus(str(corpus), n_docs=8, dim=32)
+    exp = str(tmp_path / "exp_pg")
+    from multimodaltopicsegmentation_tpu.cli.train_fit import build_parser, main
+    import multimodaltopicsegmentation_tpu.cli.train_fit as tf
+
+    tf.EMBEDDING_SIZES["CNN"] = 32
+    cwd = os.getcwd()
+    try:
+        args = build_parser().parse_args([
+            "-exp", exp, "-arc", "SheikhBiLSTM", "-enc", "CNN",
+            "-ef", emb_dir, "-lf", lab_file, "-lr", "1e-2",
+            "-bs", "4", "-max", "2", "-vp", "0.2", "-pat", "5",
+            "-loss", "BinaryCrossEntropy", "-s_last", "-split", split,
+            "-hs", "-huss", "16", "-nlss", "1",
+            "-diss", "0.0", "0.2", "-doss", "0.0",
+            "-pg",
+        ])
+        main(args)
+    finally:
+        os.chdir(cwd)
+    assert "--parallel_grid ignored" in capsys.readouterr().err
+    logs = open(os.path.join(exp, "logs")).read()
+    assert "--parallel_grid ignored" in logs
+
+
+def _second_modality(emb_dir, out_dir, dim2=24, seed=5):
+    """Derive a second modality stream with the SAME doc names/unit counts."""
+    rng = np.random.default_rng(seed)
+    os.makedirs(out_dir, exist_ok=True)
+    proj = None
+    for f in sorted(os.listdir(emb_dir)):
+        if not f.endswith(".npy"):
+            continue
+        e = np.load(os.path.join(emb_dir, f))
+        if proj is None:
+            proj = rng.standard_normal((e.shape[1], dim2)).astype(np.float32)
+        np.save(os.path.join(out_dir, f),
+                (e @ proj + 0.1 * rng.standard_normal((len(e), dim2))).astype(np.float32))
+    return out_dir
+
+
+@pytest.mark.slow
+def test_train_fit_cli_early_fusion_bilstm(tmp_path):
+    """run_radionews_earlyfusion.sh shape: '+'-joined encoders and embedding
+    dirs concatenate into one BiLSTM input (reference train_fit.py flags,
+    RadioNews-SBBC/run_radionews_earlyfusion.sh:12)."""
+    corpus = tmp_path / "corpus"
+    emb_dir, lab_file, split = make_synthetic_corpus(str(corpus), n_docs=8, dim=32)
+    emb2 = _second_modality(emb_dir, str(tmp_path / "emb2"))
+    exp = str(tmp_path / "exp_ef")
+    from multimodaltopicsegmentation_tpu.cli.train_fit import build_parser, main
+    import multimodaltopicsegmentation_tpu.cli.train_fit as tf
+
+    tf.EMBEDDING_SIZES["CNN"] = 32
+    tf.EMBEDDING_SIZES["roberta"] = 24
+    cwd = os.getcwd()
+    try:
+        args = build_parser().parse_args([
+            "-exp", exp, "-arc", "BiLSTM", "-enc", "CNN+roberta",
+            "-ef", f"{emb_dir}+{emb2}", "-lf", lab_file, "-lr", "1e-2",
+            "-bs", "4", "-max", "4", "-vp", "0.2", "-pat", "5",
+            "-loss", "FocalLoss", "-s_last", "-ar", "-as", "-split", split,
+            "-hs", "-huss", "16", "-nlss", "1", "-diss", "0.0", "-doss", "0.0",
+        ])
+        main(args)
+    finally:
+        os.chdir(cwd)
+    txt = open(os.path.join(exp, "results.txt")).read()
+    assert "Sentence encoder: CNN+roberta" in txt
+    assert "Mean Pk obtained is" in txt
+
+
+@pytest.mark.slow
+def test_train_fit_cli_early_fusion_transformer_focal(tmp_path):
+    """BASELINE.md flagship early fusion: enc1+enc2 concat -> restricted
+    Transformer (pyramidal windows) + FocalLoss, through the real CLI."""
+    corpus = tmp_path / "corpus"
+    emb_dir, lab_file, split = make_synthetic_corpus(str(corpus), n_docs=8, dim=32)
+    emb2 = _second_modality(emb_dir, str(tmp_path / "emb2"))
+    exp = str(tmp_path / "exp_eft")
+    from multimodaltopicsegmentation_tpu.cli.train_fit import build_parser, main
+    import multimodaltopicsegmentation_tpu.cli.train_fit as tf
+
+    tf.EMBEDDING_SIZES["CNN"] = 32
+    tf.EMBEDDING_SIZES["roberta"] = 24
+    cwd = os.getcwd()
+    try:
+        args = build_parser().parse_args([
+            "-exp", exp, "-arc", "Transformer", "-enc", "CNN+roberta",
+            "-ef", f"{emb_dir}+{emb2}", "-lf", lab_file, "-lr", "1e-3",
+            "-bs", "4", "-max", "2", "-vp", "0.2", "-pat", "5",
+            "-loss", "FocalLoss", "-s_last", "-split", split,
+            "-hu", "64", "-nl", "2", "-nh", "2", "-window", "8",
+        ])
+        main(args)
+    finally:
+        os.chdir(cwd)
+    txt = open(os.path.join(exp, "results.txt")).read()
+    assert "Neural architecture: Transformer" in txt
+    assert "Mean Pk obtained is" in txt
+
+
+@pytest.mark.slow
+def test_train_fit_cli_late_fusion(tmp_path):
+    """run_radionews_latefusion.sh shape: -arc BiLSTMLateFusion -enc/-enc2
+    -ef/-ef2 (reference :14), through the real CLI; results.txt additionally
+    records the second encoder so predict can drive the checkpoint."""
+    corpus = tmp_path / "corpus"
+    emb_dir, lab_file, split = make_synthetic_corpus(str(corpus), n_docs=8, dim=32)
+    emb2 = _second_modality(emb_dir, str(tmp_path / "emb2"))
+    exp = str(tmp_path / "exp_lf")
+    from multimodaltopicsegmentation_tpu.cli.train_fit import build_parser, main
+    import multimodaltopicsegmentation_tpu.cli.train_fit as tf
+
+    tf.EMBEDDING_SIZES["CNN"] = 32
+    tf.EMBEDDING_SIZES["roberta"] = 24
+    cwd = os.getcwd()
+    try:
+        args = build_parser().parse_args([
+            "-exp", exp, "-arc", "BiLSTMLateFusion", "-enc", "CNN",
+            "-enc2", "roberta", "-ef", emb_dir, "-ef2", emb2,
+            "-lf", lab_file, "-lr", "1e-2",
+            "-bs", "4", "-max", "4", "-vp", "0.2", "-pat", "5",
+            "-loss", "FocalLoss", "-s_last", "-ar", "-as", "-split", split,
+            "-hs", "-huss", "16", "-nlss", "1", "-diss", "0.0", "-doss", "0.0",
+        ])
+        main(args)
+    finally:
+        os.chdir(cwd)
+    txt = open(os.path.join(exp, "results.txt")).read()
+    assert "Neural architecture: BiLSTMLateFusion" in txt
+    assert "Second sentence encoder: roberta" in txt
+    assert "Mean Pk obtained is" in txt
+    assert os.path.exists(os.path.join(exp, "checkpoints", "best_model"))

@@ -168,3 +168,19 @@ def test_get_speech_segments_quartered_offsets():
         assert qe == pytest.approx(we, abs=0.3)
     assert spans[0][0] == pytest.approx(2.0, abs=0.3)
     assert spans[1][0] == pytest.approx(6.0, abs=0.3)
+
+
+def test_energy_fallback_warns_once(monkeypatch, capsys):
+    """VAD without MTS_VAD_WEIGHTS must say loudly (once) that it is NOT the
+    reference's SpeechBrain CRDNN posterior (round-2 review item)."""
+    from multimodaltopicsegmentation_tpu.dsp import vad as vad_mod
+
+    monkeypatch.delenv("MTS_VAD_WEIGHTS", raising=False)
+    monkeypatch.setattr(vad_mod, "_warned_fallback", False)
+    audio = np.sin(np.linspace(0, 440 * 2 * np.pi, 16000)).astype(np.float32)
+    vad_mod.default_posteriors(audio, 16000)
+    err = capsys.readouterr().err
+    assert "MTS_VAD_WEIGHTS" in err and "energy-logistic" in err
+    # second call: silent
+    vad_mod.default_posteriors(audio, 16000)
+    assert "MTS_VAD_WEIGHTS" not in capsys.readouterr().err
