@@ -120,7 +120,61 @@ def bench_predict_wav2vec_tpu(chunk: int = 150) -> float:
     return (SECS / 60.0) / dt
 
 
-def bench_predict_wav2vec_cpu_baseline(n_units: int = 6) -> float:
+def wav2vec2_flops_per_audio_sec(cfg) -> float:
+    """Analytic forward FLOPs of the wav2vec2 encoder per second of 16 kHz
+    audio (2 FLOPs per MAC). Conv stack + feature projection + positional
+    conv + transformer layers; used for the MFU accounting in the bench
+    output and docs/PERFORMANCE.md."""
+    t = SR
+    flops = 0.0
+    cin = 1
+    for c, k, s in zip(cfg.conv_dim, cfg.conv_kernel, cfg.conv_stride):
+        t = (t - k) // s + 1
+        flops += 2.0 * cin * c * k * t
+        cin = c
+    d, ffn = cfg.hidden_size, cfg.ffn_dim
+    flops += 2.0 * t * cin * d  # feature projection
+    flops += 2.0 * (d * d / cfg.pos_conv_groups) * cfg.pos_conv_kernel * t
+    per_layer = (
+        2.0 * t * 4 * d * d        # q/k/v/o projections
+        + 2.0 * 2 * t * t * d      # scores + weighted sum
+        + 2.0 * t * 2 * d * ffn    # FFN
+    )
+    return flops + cfg.num_layers * per_layer
+
+
+def lstm_train_step_flops(B, L, D, H, layers) -> float:
+    """Analytic FLOPs of one flagship BiLSTM train step (forward ~1x,
+    backward ~2x the forward matmul work)."""
+    fwd = 0.0
+    din = D
+    for _ in range(layers):
+        fwd += 2 * (2.0 * B * L * din * 4 * H + 2.0 * B * L * H * 4 * H)  # 2 dirs
+        din = 2 * H
+    fwd += 2.0 * B * L * 2 * H  # classifier head
+    return 3.0 * fwd
+
+
+# public bf16 peak TFLOP/s per chip by device kind (dense matmul)
+TPU_PEAKS_TFLOPS = {
+    "TPU v5 lite": 197.0,  # v5e
+    "TPU v5e": 197.0,
+    "TPU v4": 275.0,
+    "TPU v6 lite": 918.0,  # v6e / Trillium
+}
+
+
+def device_peak_tflops() -> float:
+    import jax
+
+    kind = jax.devices()[0].device_kind
+    for name, peak in TPU_PEAKS_TFLOPS.items():
+        if name.lower() in kind.lower():
+            return peak
+    return 0.0  # unknown device (e.g. CPU fallback): no MFU accounting
+
+
+def bench_predict_wav2vec_cpu_baseline(n_units: int = 20) -> float:
     """audio-min/s of the reference execution model: one HF torch wav2vec2
     forward per 1-second unit, strictly serial, then the torch BiLSTM
     decode. Extrapolated linearly (the loop is serial per unit)."""
@@ -184,7 +238,9 @@ def bench_predict_cpu_baseline() -> float:
     return (BASELINE_UNITS / 60.0) / dt
 
 
-def bench_train_fallback():
+def bench_train_step():
+    """Flagship BiLSTM train-step throughput (units/s) + step time + analytic
+    FLOPs, so BENCH_r*.json catches train-path regressions too."""
     import jax
     import jax.numpy as jnp
     import optax
@@ -217,7 +273,7 @@ def bench_train_fallback():
             params, state, loss = js(params, state, x, lengths, tags, k)
         float(loss)
         dt = (time.time() - t0) / 20
-    return B * L / dt
+    return B * L / dt, dt, lstm_train_step_flops(B, L, Dm, H, LAYERS)
 
 
 def _retry(fn, attempts=2, wait=20):
@@ -251,21 +307,42 @@ def main():
             )
         except Exception as e:  # noqa: BLE001
             print(f"mfcc side-bench failed ({e})", file=sys.stderr)
-        print(
-            json.dumps(
-                {
-                    "metric": "predict_wav2vec2_audio_min_per_sec",
-                    "value": round(value, 2),
-                    "unit": "audio-min/s",
-                    "vs_baseline": round(value / baseline, 2),
-                }
-            )
-        )
-    except Exception as e:  # noqa: BLE001
-        import sys
 
+        record = {
+            "metric": "predict_wav2vec2_audio_min_per_sec",
+            "value": round(value, 2),
+            "unit": "audio-min/s",
+            "vs_baseline": round(value / baseline, 2),
+        }
+
+        # MFU accounting: achieved TFLOP/s of the predict path against the
+        # chip's bf16 peak (analytic FLOPs — see wav2vec2_flops_per_audio_sec)
+        from multimodaltopicsegmentation_tpu.encoders.wav2vec2 import Wav2Vec2Config
+
+        peak = device_peak_tflops()
+        predict_tflops = wav2vec2_flops_per_audio_sec(Wav2Vec2Config.base()) * (
+            value * 60.0
+        ) / 1e12
+        record["predict_tflops"] = round(predict_tflops, 1)
+        if peak:
+            record["predict_mfu_pct"] = round(100.0 * predict_tflops / peak, 1)
+
+        # train-path regression guard: flagship grad-step throughput + MFU
+        try:
+            t_units, t_step, t_flops = _retry(bench_train_step)
+            record["train_units_per_sec"] = round(t_units, 0)
+            record["train_step_ms"] = round(t_step * 1e3, 2)
+            train_tflops = t_flops / t_step / 1e12
+            record["train_tflops"] = round(train_tflops, 1)
+            if peak:
+                record["train_mfu_pct"] = round(100.0 * train_tflops / peak, 1)
+        except Exception as e:  # noqa: BLE001
+            print(f"train side-bench failed ({e})", file=sys.stderr)
+
+        print(json.dumps(record))
+    except Exception as e:  # noqa: BLE001
         print(f"predict-path bench failed ({e}); falling back", file=sys.stderr)
-        value = bench_train_fallback()
+        value, _dt, _fl = bench_train_step()
         print(
             json.dumps(
                 {

@@ -63,7 +63,7 @@ def hamming_window(n: int) -> np.ndarray:
     return (0.54 - 0.46 * np.cos(2.0 * np.pi * np.arange(n) / n)).astype(np.float32)
 
 
-def vad_fbank(audio: jnp.ndarray) -> jnp.ndarray:
+def vad_fbank(audio: jnp.ndarray, n_valid=None) -> jnp.ndarray:
     """[S] 16 kHz audio -> [T, 40] normalized log-mel features.
 
     Matches the VAD interface's feature path: centered ZERO-padded frames
@@ -84,8 +84,20 @@ def vad_fbank(audio: jnp.ndarray) -> jnp.ndarray:
     spec = jnp.abs(jnp.fft.rfft(frames * win, n=WIN, axis=-1)) ** 2
     bank = jnp.asarray(htk_mel_filterbank(SR, WIN, N_MELS))
     db = 10.0 * jnp.log10(jnp.maximum(spec @ bank.T, 1e-10))
-    db = jnp.maximum(db, jnp.max(db) - 80.0)
-    return db - jnp.mean(db, axis=0, keepdims=True)
+    if n_valid is None:
+        db = jnp.maximum(db, jnp.max(db) - 80.0)
+        return db - jnp.mean(db, axis=0, keepdims=True)
+    # length-aware variant for sample-bucketed audio: the per-utterance dB
+    # floor and sentence mean come from the VALID frames only, and padded
+    # frames are zeroed — bit-identical to running the unbucketed fbank and
+    # zero-padding its frames (bucket zeros == the STFT's centering zeros)
+    valid = (jnp.arange(db.shape[0]) < n_valid)[:, None]
+    vmax = jnp.max(jnp.where(valid, db, -jnp.inf))
+    db = jnp.maximum(db, vmax - 80.0)
+    mean = jnp.sum(jnp.where(valid, db, 0.0), axis=0, keepdims=True) / jnp.maximum(
+        n_valid, 1
+    )
+    return jnp.where(valid, db - mean, 0.0)
 
 
 # ---------------------------------------------------------------------------
@@ -209,9 +221,11 @@ _APPLY_JIT = {}
 def posteriors(params: dict, audio: np.ndarray, sr: int) -> np.ndarray:
     """Whole-document speech posteriors on the 10 ms grid, one device call.
 
-    The frame axis is padded to a 3000-frame (30 s) multiple so XLA compiles
-    a handful of shapes per corpus instead of one per document; the backward
-    LSTM still starts from the true final frame (lengths-aware reversal).
+    The AUDIO is padded to a 30 s sample bucket (3000 frames x HOP) before
+    the fbank, so the whole fbank+CRDNN program compiles once per bucket
+    rather than once per document length (compiles are expensive on the
+    remote axon backend); the fbank normalizes over valid frames only and
+    the backward LSTM still starts from the true final frame.
     """
     audio = np.asarray(audio)
     if audio.size == 0:
@@ -221,18 +235,23 @@ def posteriors(params: dict, audio: np.ndarray, sr: int) -> np.ndarray:
         from ..utils.audio import resample
 
         audio = resample(audio, sr, SR)
-    feats = np.asarray(vad_fbank(jnp.asarray(audio, jnp.float32)))
-    t = feats.shape[0]
-    bucket = max(3000 * ((t + 2999) // 3000), 3000)
-    feats = np.pad(feats, ((0, bucket - t), (0, 0)))
+    t = audio.size // HOP + 1  # frames the unbucketed fbank would produce
+    sample_bucket = 3000 * HOP
+    padded = sample_bucket * max((audio.size + sample_bucket - 1) // sample_bucket, 1)
+    audio = np.pad(audio, (0, padded - audio.size))
 
     pools = pool_factors(params)
-    if pools not in _APPLY_JIT:
-        _APPLY_JIT[pools] = jax.jit(
-            lambda p, f, l: apply(p, f, lengths=l, pools=pools)
+    key = (pools, padded)
+    if key not in _APPLY_JIT:
+        _APPLY_JIT[key] = jax.jit(
+            lambda p, a, l: apply(
+                p, vad_fbank(a, n_valid=l[0])[None], lengths=l, pools=pools
+            )
         )
     arrays = {k: v for k, v in params.items() if not k.endswith("_pool")}
-    out = _APPLY_JIT[pools](arrays, feats[None], jnp.asarray([t], jnp.int32))
+    out = _APPLY_JIT[key](
+        arrays, jnp.asarray(audio, jnp.float32), jnp.asarray([t], jnp.int32)
+    )
     return np.asarray(out)[0, :t]
 
 

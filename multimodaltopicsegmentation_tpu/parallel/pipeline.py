@@ -125,7 +125,13 @@ def pipeline_encoder_apply(
             first = (sidx == 0)
             h = jnp.where(first, xs[mi], act_in)
             m = jnp.where(first, masks[mi], msk_in)
-            key = None if rng is None else jax.random.fold_in(rng, t)
+            # dropout keys derive from the MICROBATCH this stage is
+            # processing at tick t (= t - stage index), not the raw tick:
+            # with fold_in(rng, t) a microbatch's mask would depend on the
+            # stage count and schedule position, so train-mode numerics
+            # would differ across pipeline depths (round-2 review item)
+            my_mi = jnp.clip(t - sidx, 0, n_micro - 1)
+            key = None if rng is None else jax.random.fold_in(rng, my_mi)
             y = lax.switch(sidx, branches, local, h, m, key)
             return (y, m), y
 

@@ -192,6 +192,16 @@ def map_crdnn_vad_state_dicts(
                if k.endswith("weight") and np.ndim(v) == 4]
     if pool_sizes is None:
         pool_sizes = [2] * len(conv_ws)
+    # the CNN-block norm is assumed LayerNorm (speechbrain's published VAD
+    # recipe); a BatchNorm checkpoint would alias its weight/bias onto LN
+    # params and silently drop running stats, so refuse it outright
+    bn_keys = [k for k in cnn_sd if k.endswith(("running_mean", "running_var"))]
+    if bn_keys:
+        raise ValueError(
+            f"cnn: found BatchNorm running stats ({bn_keys[:2]}...) — this "
+            "converter maps CNN-block norms as LayerNorm; inspect the "
+            "checkpoint's norm type before converting"
+        )
     ln_ws = [(k, v) for k, v in cnn_sd.items()
              if k.endswith("weight") and np.ndim(v) in (1, 2)]
     if len(ln_ws) != len(conv_ws):
