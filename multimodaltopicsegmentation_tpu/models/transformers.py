@@ -53,7 +53,11 @@ from .base import (
 )
 
 
-def layer_norm(p, x, eps=1e-5):
+def layer_norm(p, x, eps=1e-12):
+    """eps matches HF BertConfig/LongformerConfig's default 1e-12: the
+    reference passes layer_norm_eps=1e-5 into its wrapper classes but never
+    writes it onto the HF config (RestrictedTransformerLayer.py:82-92), so
+    the models it actually runs use 1e-12."""
     mu = jnp.mean(x, axis=-1, keepdims=True)
     var = jnp.var(x, axis=-1, keepdims=True)
     return (x - mu) * jax.lax.rsqrt(var + eps) * p["scale"] + p["bias"]

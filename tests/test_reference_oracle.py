@@ -427,3 +427,144 @@ def test_training_trajectory_matches_reference(ref, rng):
         _, ref_tags = tm.eval()(torch.from_numpy(x), lt, 0.5)
     _, tags_j = model.decode(params, jnp.asarray(x), jnp.asarray(lengths), 0.5)
     assert_boundaries_identical(tags_j, ref_tags, lengths)
+
+
+# ---------------------------------------------------------------------------
+# Transformer_segmenter (models/CRF.py:508-610) — the restricted path runs
+# a REAL HF LongformerModel with pyramidal windows; transplanting its
+# weights proves the blocked local attention against HF's sliding-chunks
+# implementation, not a replica
+# ---------------------------------------------------------------------------
+
+def _transplant_longformer(ref_seg, cfg):
+    """HF LongformerModel (inside Longformer_Local_Attention) + classifier
+    -> TransformerSegmenter params. With inputs_embeds, HF adds
+    position_embeddings (ids offset by padding_idx+1 = 2) and the constant
+    token_type_embeddings[0] before the embedding LayerNorm; both fold into
+    the framework's single positional table."""
+    sd = {k: v.detach().numpy() for k, v in ref_seg.model.model.state_dict().items()}
+    tok0 = sd["embeddings.token_type_embeddings.weight"][0]
+    pos_hf = sd["embeddings.position_embeddings.weight"]
+    enc = {
+        "pos": jnp.asarray(pos_hf[2:] + tok0),
+        "ln_emb": {
+            "scale": jnp.asarray(sd["embeddings.LayerNorm.weight"]),
+            "bias": jnp.asarray(sd["embeddings.LayerNorm.bias"]),
+        },
+        "layers": [],
+    }
+
+    def lin(prefix):
+        return {
+            "w": jnp.asarray(sd[prefix + ".weight"].T),
+            "b": jnp.asarray(sd[prefix + ".bias"]),
+        }
+
+    def ln(prefix):
+        return {
+            "scale": jnp.asarray(sd[prefix + ".weight"]),
+            "bias": jnp.asarray(sd[prefix + ".bias"]),
+        }
+
+    i = 0
+    while f"encoder.layer.{i}.attention.self.query.weight" in sd:
+        p = f"encoder.layer.{i}"
+        enc["layers"].append({
+            "attn": {
+                "q": lin(f"{p}.attention.self.query"),
+                "k": lin(f"{p}.attention.self.key"),
+                "v": lin(f"{p}.attention.self.value"),
+                "o": lin(f"{p}.attention.output.dense"),
+            },
+            "ln1": ln(f"{p}.attention.output.LayerNorm"),
+            "ff1": lin(f"{p}.intermediate.dense"),
+            "ff2": lin(f"{p}.output.dense"),
+            "ln2": ln(f"{p}.output.LayerNorm"),
+        })
+        i += 1
+    cls = {
+        "w": jnp.asarray(ref_seg.classification.weight.detach().numpy().T),
+        "b": jnp.asarray(ref_seg.classification.bias.detach().numpy()),
+    }
+    return {"encoder": enc, "cls": cls}
+
+
+@pytest.mark.parametrize("loss_fn", ["FocalLoss", "CrossEntropy"])
+def test_transformer_segmenter_longformer_oracle(ref, rng, loss_fn):
+    torch.manual_seed(11)
+    D, FF, layers, heads, win = 16, 48, 2, 2, 4
+    tm = ref.CRF.Transformer_segmenter(
+        2, D, FF, num_layers=layers, nheads=heads, dropout_in=0.0,
+        loss_fn=loss_fn, restricted=True, window_size=win,
+    ).eval()
+    tm.device = "cpu"
+    # the reference builds pyramidal windows [win*k for k in layers..1]
+    assert tm.model.configuration.attention_window == [8, 4]
+
+    cfg = TaggerConfig(
+        embedding_dim=D, hidden_dim=FF, num_layers=layers, nheads=heads,
+        attention_window=win, loss_fn=loss_fn, dropout_in=0.0,
+    )
+    from multimodaltopicsegmentation_tpu.models.transformers import (
+        TransformerSegmenter,
+        pyramidal_windows,
+    )
+
+    model = TransformerSegmenter(cfg)
+    assert model.encoder.windows == pyramidal_windows(win, layers) == [8, 4]
+    params = _transplant_longformer(tm, cfg)
+
+    x, lengths, tags = batch(rng, D=D, ce=loss_fn == "CrossEntropy")
+    lt = torch.from_numpy(lengths)
+
+    with torch.no_grad():
+        scores_t, ref_tags = tm(torch.from_numpy(x), lt, 0.4)
+    scores_j, tags_j = model.decode(params, jnp.asarray(x), jnp.asarray(lengths), 0.4)
+    for b, Lb in enumerate(lengths):
+        np.testing.assert_allclose(
+            np.asarray(scores_j)[b, :Lb], scores_t.numpy()[b, :Lb], atol=2e-4
+        )
+    assert_boundaries_identical(tags_j, ref_tags, lengths)
+
+    with torch.no_grad():
+        want = tm.loss(torch.from_numpy(x), lt, torch.from_numpy(tags)).item()
+    got = model.loss(params, jnp.asarray(x), jnp.asarray(lengths), jnp.asarray(tags))
+    np.testing.assert_allclose(float(got), want, rtol=1e-4, atol=1e-6)
+
+
+def test_classic_transformer_oracle(ref, rng):
+    """restricted=False runs a REAL HF BertModel (dense attention; position
+    ids start at 0, no offset)."""
+    torch.manual_seed(12)
+    D, FF, layers, heads = 16, 48, 2, 2
+    tm = ref.CRF.Transformer_segmenter(
+        2, D, FF, num_layers=layers, nheads=heads, dropout_in=0.0,
+        loss_fn="FocalLoss", restricted=False,
+    ).eval()
+    tm.device = "cpu"
+
+    cfg = TaggerConfig(
+        embedding_dim=D, hidden_dim=FF, num_layers=layers, nheads=heads,
+        loss_fn="FocalLoss", dropout_in=0.0,
+    )
+    from multimodaltopicsegmentation_tpu.models.transformers import TransformerSegmenter
+
+    model = TransformerSegmenter(cfg, restricted=False)
+    params = _transplant_longformer(tm, cfg)
+    # BertModel position ids start at 0 (no Longformer +2 offset)
+    sd = {k: v.detach().numpy() for k, v in tm.model.model.state_dict().items()}
+    params["encoder"]["pos"] = jnp.asarray(
+        sd["embeddings.position_embeddings.weight"]
+        + sd["embeddings.token_type_embeddings.weight"][0]
+    )
+
+    x, lengths, tags = batch(rng, D=D)
+    lt = torch.from_numpy(lengths)
+    with torch.no_grad():
+        scores_t, ref_tags = tm(torch.from_numpy(x), lt, 0.4)
+    scores_j, tags_j = model.decode(params, jnp.asarray(x), jnp.asarray(lengths), 0.4)
+    for b, Lb in enumerate(lengths):
+        np.testing.assert_allclose(
+            np.asarray(scores_j)[b, :Lb], scores_t.numpy()[b, :Lb], atol=2e-4
+        )
+    assert_boundaries_identical(tags_j, ref_tags, lengths)
