@@ -86,7 +86,7 @@ def mha_params(rng, d_model):
     }
 
 
-def _attend(p, x, nheads, mask, window=None, kv=None, bias_fn=None):
+def _attend(p, x, nheads, mask, window=None, kv=None, bias_fn=None, scale=True):
     """MHA with optional sliding window and external key/value stream."""
     src_kv = kv if kv is not None else x
     q = split_heads(linear(p["q"], x), nheads)
@@ -95,7 +95,7 @@ def _attend(p, x, nheads, mask, window=None, kv=None, bias_fn=None):
     if window is None:
         out = dense_attention(q, k, v, mask)
     else:
-        out = local_attention(q, k, v, window, mask, bias_fn=bias_fn)
+        out = local_attention(q, k, v, window, mask, bias_fn=bias_fn, scale=scale)
     return linear(p["o"], merge_heads(out))
 
 
@@ -214,7 +214,10 @@ class LongT5Encoder:
         # reference expression max(4, window_size + 1//4) == max(4, window)
         self.num_buckets = max(4, window)
         self.max_distance = window + 1
-        self.window = window if window % 2 == 0 else window + 1
+        # `window` is HF LongT5's local_radius: each token attends |i-j| <= r
+        # (modeling_longt5._mask_local_attention_mask: |rel| < block_len with
+        # block_len = r+1), so the two-sided band width is 2r
+        self.window = 2 * window
         self.drop = drop
         self.remat = remat
 
@@ -247,7 +250,9 @@ class LongT5Encoder:
             def one_block(lp, x, mask, rel_bias, k1, k2):
                 bias = relative_bias_fn(rel_bias, self.num_buckets, self.max_distance)
                 h = rms_norm(lp["ln1"], x)
-                a = _attend(lp["attn"], h, self.nheads, mask, self.window, bias_fn=bias)
+                # scale=False: T5-family attention has no sqrt(dh) scaling
+                a = _attend(lp["attn"], h, self.nheads, mask, self.window,
+                            bias_fn=bias, scale=False)
                 x = x + dropout(a, self.drop, k1, not train)
                 h = rms_norm(lp["ln2"], x)
                 h = linear(lp["wo"], jax.nn.relu(linear(lp["wi"], h)))

@@ -55,12 +55,16 @@ def local_attention(
     mask: jnp.ndarray = None,
     bias_fn=None,
     use_pallas: str = "auto",
+    scale: bool = True,
 ):
     """Sliding-window attention. q,k,v: [B, H, L, Dh]; window = total span
     (w/2 on each side, HF Longformer convention, must be even).
 
     bias_fn: optional fn(rel_offsets [block, 3*block]) -> [H, block, 3*block]
     additive bias (used for T5 relative-position buckets).
+    scale: divide scores by sqrt(Dh) (Longformer/BERT convention); T5-family
+    attention does NOT scale (HF T5Attention folds it into init), so the
+    LongT5 path passes scale=False for exact HF parity.
     Returns [B, H, L, Dh].
 
     use_pallas: the fused Pallas kernel is an explicit INFERENCE opt-in
@@ -113,7 +117,9 @@ def local_attention(
     idx = np.arange(nb)[:, None] * block + np.arange(3 * block)[None, :]
     mb = mp_k[:, idx]  # [B, nb, 3b]
 
-    scores = jnp.einsum("bhnqd,bhnkd->bhnqk", qb, kb) / math.sqrt(Dh)
+    scores = jnp.einsum("bhnqd,bhnkd->bhnqk", qb, kb)
+    if scale:
+        scores = scores / math.sqrt(Dh)
     band = _band_mask(nb, block, half, scores.dtype)
     scores = scores + band[None, None, None]
     if bias_fn is not None:

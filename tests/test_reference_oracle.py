@@ -568,3 +568,99 @@ def test_classic_transformer_oracle(ref, rng):
             np.asarray(scores_j)[b, :Lb], scores_t.numpy()[b, :Lb], atol=2e-4
         )
     assert_boundaries_identical(tags_j, ref_tags, lengths)
+
+
+# ---------------------------------------------------------------------------
+# RecurrentLongT5 (models/CRF.py:613-762) — each block runs a REAL HF
+# LongT5EncoderModel (local attention + relative buckets, T5 no-scaling);
+# transplanting its weights proves the LongT5 path against HF, not a replica
+# ---------------------------------------------------------------------------
+
+def _transplant_longt5_encoder(hf_model):
+    """HF LongT5EncoderModel -> LongT5Encoder params (T5 linears carry no
+    biases; all layers share block-0's relative_attention_bias, exactly as
+    T5 reuses the first layer's position_bias)."""
+    sd = {k: v.detach().numpy() for k, v in hf_model.state_dict().items()}
+
+    def nob(name):
+        w = sd[name + ".weight"]
+        return {"w": jnp.asarray(w.T), "b": jnp.zeros((w.shape[0],), np.float32)}
+
+    layers = []
+    i = 0
+    while f"encoder.block.{i}.layer.0.LocalSelfAttention.q.weight" in sd:
+        p = f"encoder.block.{i}"
+        layers.append({
+            "attn": {
+                "q": nob(f"{p}.layer.0.LocalSelfAttention.q"),
+                "k": nob(f"{p}.layer.0.LocalSelfAttention.k"),
+                "v": nob(f"{p}.layer.0.LocalSelfAttention.v"),
+                "o": nob(f"{p}.layer.0.LocalSelfAttention.o"),
+            },
+            "ln1": {"scale": jnp.asarray(sd[f"{p}.layer.0.layer_norm.weight"])},
+            "wi": nob(f"{p}.layer.1.DenseReluDense.wi"),
+            "wo": nob(f"{p}.layer.1.DenseReluDense.wo"),
+            "ln2": {"scale": jnp.asarray(sd[f"{p}.layer.1.layer_norm.weight"])},
+        })
+        i += 1
+    return {
+        "layers": layers,
+        "rel_bias": jnp.asarray(
+            sd["encoder.block.0.layer.0.LocalSelfAttention.relative_attention_bias.weight"]
+        ),
+        "ln_final": {"scale": jnp.asarray(sd["encoder.final_layer_norm.weight"])},
+    }
+
+
+def test_recurrent_longt5_oracle(ref, rng):
+    torch.manual_seed(13)
+    D, H, layers, heads, radius = 16, 8, 2, 2, 3
+    tm = ref.CRF.RecurrentLongT5(
+        2, D, H, num_layers=layers, nheads=heads, dropout_in=0.0,
+        loss_fn="FocalLoss", window_size=radius,
+    ).eval()
+    hf_cfg = tm.model[0].transformer.configuration
+    assert hf_cfg.local_radius == radius
+    assert hf_cfg.relative_attention_num_buckets == max(4, radius)
+
+    cfg = TaggerConfig(
+        embedding_dim=D, hidden_dim=H, num_layers=layers, nheads=heads,
+        attention_window=radius, loss_fn="FocalLoss", dropout_in=0.0,
+    )
+    model = build("RecurrentLongT5", cfg)
+    from multimodaltopicsegmentation_tpu.tools.convert_reference_checkpoint import (
+        _convert_rnn_stack,
+    )
+
+    blocks = []
+    for i in range(layers):
+        lstm_sd = {f"rnn.{k}": v for k, v in tm.model[i].lstm.rnn.state_dict().items()}
+        stack = _convert_rnn_stack(lstm_sd, "rnn", 1, True, True)
+        blocks.append({
+            "lstm": jax.tree_util.tree_map(jnp.asarray, stack[0]),
+            "t5": _transplant_longt5_encoder(tm.model[i].transformer.model),
+        })
+    params = {
+        "blocks": blocks,
+        "cls": {
+            "w": jnp.asarray(tm.classification.weight.detach().numpy().T),
+            "b": jnp.asarray(tm.classification.bias.detach().numpy()),
+        },
+    }
+
+    x, lengths, tags = batch(rng, D=D)
+    lt = torch.from_numpy(lengths)
+
+    with torch.no_grad():
+        scores_t, ref_tags = tm(torch.from_numpy(x), lt, 0.4)
+    scores_j, tags_j = model.decode(params, jnp.asarray(x), jnp.asarray(lengths), 0.4)
+    for b, Lb in enumerate(lengths):
+        np.testing.assert_allclose(
+            np.asarray(scores_j)[b, :Lb], scores_t.numpy()[b, :Lb], atol=2e-4
+        )
+    assert_boundaries_identical(tags_j, ref_tags, lengths)
+
+    with torch.no_grad():
+        want = tm.loss(torch.from_numpy(x), lt, torch.from_numpy(tags)).item()
+    got = model.loss(params, jnp.asarray(x), jnp.asarray(lengths), jnp.asarray(tags))
+    np.testing.assert_allclose(float(got), want, rtol=1e-4, atol=1e-6)

@@ -1,0 +1,207 @@
+"""Data-layer parity against the reference's ACTUAL code.
+
+Companion to test_reference_oracle.py (models): imports the real
+/root/reference data modules and asserts fold-identical loading, the
+seed-1 masking RNG stream, collater padding conventions, and the WinPR
+metric — against the reference's own implementations, not transcriptions.
+
+Stubs needed to execute the reference in this image:
+- EncoderDataset.py pulls in models.lightning_model, which imports
+  pytorch_lightning and segeval (neither installed). `pl.LightningModule`
+  is stubbed as torch.nn.Module (class creation only; no Lightning
+  machinery runs) and segeval as an empty module (its functions are only
+  referenced inside metric bodies this file never calls — except WinPR,
+  which is segeval-free and oracle-tested below).
+"""
+import os
+import pickle
+import sys
+import types
+
+import numpy as np
+import pytest
+import torch
+
+from multimodaltopicsegmentation_tpu.eval import metrics as M
+from multimodaltopicsegmentation_tpu.train import data as my_data
+from tests.synth import make_synthetic_corpus
+
+REF = "/root/reference"
+
+
+@pytest.fixture(scope="module")
+def ref():
+    import importlib
+
+    if "models.longformer_noffn" not in sys.modules:
+        stub = types.ModuleType("models.longformer_noffn")
+        stub.LongformerLayer = type("LongformerLayer", (), {})
+        sys.modules["models.longformer_noffn"] = stub
+    if "pytorch_lightning" not in sys.modules:
+        pl = types.ModuleType("pytorch_lightning")
+        pl.LightningModule = torch.nn.Module
+        sys.modules["pytorch_lightning"] = pl
+    if "segeval" not in sys.modules:
+        sys.modules["segeval"] = types.ModuleType("segeval")
+    sys.path.insert(0, REF)
+    try:
+        ldp = importlib.import_module("utils.load_datasets_precomputed")
+        enc_ds = importlib.import_module("EncoderDataset")
+        lm = importlib.import_module("models.lightning_model")
+    finally:
+        sys.path.remove(REF)
+    assert ldp.__file__.startswith(REF)
+    return types.SimpleNamespace(loader=ldp, ds=enc_ds, lm=lm)
+
+
+def _as_dict(fold):
+    """list of (embs, labs, name) -> {name: (np embs, list labs)}"""
+    return {
+        name: (np.asarray(e), [int(v) for v in l]) for e, l, name in fold
+    }
+
+
+def _assert_same_docs(ref_fold, my_fold):
+    r, m = _as_dict(ref_fold), _as_dict(my_fold)
+    assert r.keys() == m.keys()
+    for name in r:
+        np.testing.assert_allclose(m[name][0], r[name][0], atol=1e-6, err_msg=name)
+        assert m[name][1] == r[name][1], name
+
+
+def test_loader_standard_split_oracle(ref, tmp_path):
+    emb_dir, lab_file, split = make_synthetic_corpus(str(tmp_path), n_docs=9)
+    want = ref.loader.load_dataset_from_precomputed(emb_dir, lab_file, split=split)
+    got = my_data.load_dataset_from_precomputed(emb_dir, lab_file, split=split)
+    for part in range(3):
+        _assert_same_docs(want[0][part], got[0][part])
+
+
+def test_loader_mask_inner_sentences_oracle(ref, tmp_path):
+    """The negative-downsampling mask consumes np.random.seed(1) draws per
+    file; the framework's vectorized draw must consume the IDENTICAL
+    stream (train/data.py documents this contract — here it is proven
+    against the reference's pop-compaction loop itself)."""
+    emb_dir, lab_file, split = make_synthetic_corpus(str(tmp_path), n_docs=6, seed=4)
+    want = ref.loader.load_dataset_from_precomputed(
+        emb_dir, lab_file, split=split, mask_inner_sentences=True,
+        mask_probability=0.7,
+    )
+    got = my_data.load_dataset_from_precomputed(
+        emb_dir, lab_file, split=split, mask_inner_sentences=True,
+        mask_probability=0.7,
+    )
+    for part in range(3):
+        _assert_same_docs(want[0][part], got[0][part])
+    # masking actually dropped units somewhere
+    full = my_data.load_dataset_from_precomputed(emb_dir, lab_file, split=split)
+    assert sum(len(d[1]) for d in got[0][0]) < sum(len(d[1]) for d in full[0][0])
+
+
+def test_loader_kfold_oracle(ref, tmp_path, monkeypatch):
+    """Fold membership follows file order; the reference takes raw
+    os.listdir order (fs-dependent, irreproducible across machines) where
+    this framework sorts (documented divergence, train/data.py). To compare
+    the fold-splitting LOGIC, the reference is driven with sorted listings
+    too."""
+    emb_dir, lab_file, _split = make_synthetic_corpus(str(tmp_path), n_docs=10)
+    real_listdir = os.listdir
+    monkeypatch.setattr(
+        ref.loader.os, "listdir", lambda p: sorted(real_listdir(p))
+    )
+    want = ref.loader.load_dataset_from_precomputed(emb_dir, lab_file, k_folds=5)
+    got = my_data.load_dataset_from_precomputed(emb_dir, lab_file, k_folds=5)
+    assert len(want) == len(got) == 5
+    for wf, gf in zip(want, got):
+        _assert_same_docs(wf[0], gf[0])
+        _assert_same_docs(wf[1], gf[1])
+
+
+def test_loader_fusion_and_timing_oracle(ref, tmp_path):
+    """'+'-joined directories concatenate, and a timing pickle appends two
+    features per unit (load_datasets_precomputed.py:134,159-167)."""
+    emb_dir, lab_file, split = make_synthetic_corpus(str(tmp_path), n_docs=6)
+    # second modality + timing pickle keyed by doc id
+    emb2 = str(tmp_path / "emb2")
+    os.makedirs(emb2)
+    rng = np.random.default_rng(7)
+    times = {}
+    for f in sorted(os.listdir(emb_dir)):
+        e = np.load(os.path.join(emb_dir, f))
+        np.save(os.path.join(emb2, f), rng.standard_normal((len(e), 5)).astype(np.float32))
+        times[f[:-4]] = rng.random((len(e), 2)).astype(np.float32).tolist()
+    timing = str(tmp_path / "times.pkl")
+    with open(timing, "wb") as fh:
+        pickle.dump(times, fh)
+
+    fused = f"{emb_dir}+{emb2}"
+    want = ref.loader.load_dataset_from_precomputed(
+        fused, lab_file, split=split, timing_info=timing
+    )
+    got = my_data.load_dataset_from_precomputed(
+        fused, lab_file, split=split, timing_info=timing
+    )
+    for part in range(3):
+        _assert_same_docs(want[0][part], got[0][part])
+    # dims: 32 + 5 + 2 timing
+    assert _as_dict(got[0][0]).popitem()[1][0].shape[1] == 39
+
+
+# ---------------------------------------------------------------------------
+# collater conventions (EncoderDataset.py:91-152)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("crf", [True, False])
+@pytest.mark.parametrize("truncate,tv", [(False, 100), (True, 12)])
+def test_collater_oracle(ref, tmp_path, crf, truncate, tv):
+    emb_dir, lab_file, split = make_synthetic_corpus(str(tmp_path), n_docs=5)
+    docs = my_data.load_dataset_from_precomputed(emb_dir, lab_file, split=split)[0][0]
+    lines = [(torch.from_numpy(np.asarray(e)), list(l), n) for e, l, n in docs]
+
+    ds = ref.ds.AudioPortionDataset(
+        lines, {"0": 0, "1": 1}, CRF=crf, truncate=truncate, truncate_value=tv,
+        domain_adapt=True,
+    )
+    want = ds.collater([ds[i] for i in range(len(ds))])
+
+    got = my_data.pad_batch(
+        docs, crf=crf, truncate=truncate, truncate_value=tv, bucket=False,
+        domain_adapt=True,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(got["src_lengths"]), want["src_lengths"].numpy()
+    )
+    np.testing.assert_allclose(
+        np.asarray(got["src_tokens"]), want["src_tokens"].numpy(), atol=1e-6
+    )
+    # label padding convention: 0 for CRF, -1 otherwise
+    np.testing.assert_array_equal(
+        np.asarray(got["tgt_tokens"]), want["tgt_tokens"].numpy()
+    )
+    # domain flags: leading digit -> RadioNews (EncoderDataset.py:36-44)
+    np.testing.assert_array_equal(np.asarray(got["domain"]), np.asarray(want["domain"]))
+
+
+# ---------------------------------------------------------------------------
+# WinPR (lightning_model.py:57-124 — the reference's only from-scratch
+# segmentation metric; the others delegate to segeval)
+# ---------------------------------------------------------------------------
+
+def test_winpr_oracle(ref, rng):
+    compared = 0
+    for trial in range(25):
+        n = int(rng.integers(3, 40))
+        k = int(rng.integers(1, 12))
+        hyp = (rng.random(n) < 0.3).astype(int).tolist()
+        gold = (rng.random(n) < 0.3).astype(int).tolist()
+        try:
+            want = ref.lm.WinPR(list(gold), list(hyp), k=k)
+        except ZeroDivisionError:
+            # reference defect: precision==recall==0 crashes its f1 line
+            # (lightning_model.py:122); this framework returns 0s there
+            assert M.win_pr(list(gold), list(hyp), k=k)[2] == 0.0
+            continue
+        got = M.win_pr(list(gold), list(hyp), k=k)
+        assert np.allclose(got, want), (trial, n, k, gold, hyp, got, want)
+        compared += 1
+    assert compared >= 15  # the crash path must not dominate the sample
