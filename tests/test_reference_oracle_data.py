@@ -205,3 +205,46 @@ def test_winpr_oracle(ref, rng):
         assert np.allclose(got, want), (trial, n, k, gold, hyp, got, want)
         compared += 1
     assert compared >= 15  # the crash path must not dominate the sample
+
+
+def test_real_timing_pickle_contract(ref, tmp_path):
+    """The reference SHIPS its actual sentence-timing artifact
+    (RadioNews-SBBC/nltk_sents_timings.pkl, 55 docs of [duration, pause]
+    pairs); both loaders must consume the real file identically."""
+    timing = os.path.join(REF, "RadioNews-SBBC", "nltk_sents_timings.pkl")
+    with open(timing, "rb") as f:
+        times = pickle.load(f)
+    names = sorted(times)[:4]
+    emb_dir = str(tmp_path / "emb")
+    os.makedirs(emb_dir)
+    rng = np.random.default_rng(0)
+    labs = {}
+    for name in names:
+        n = len(times[name])
+        np.save(os.path.join(emb_dir, name + ".npy"),
+                rng.standard_normal((n, 8)).astype(np.float32))
+        l = [0] * n
+        for j in range(9, n, 10):
+            l[j] = 1
+        labs[name] = l
+    lab_file = str(tmp_path / "labs_dict.pkl")
+    with open(lab_file, "wb") as f:
+        pickle.dump(labs, f)
+    split = str(tmp_path / "split.json")
+    import json
+
+    with open(split, "w") as f:
+        json.dump({"train": [n + ".npy" for n in names[:2]],
+                   "test": [names[2] + ".npy"],
+                   "validation": [names[3] + ".npy"]}, f)
+
+    want = ref.loader.load_dataset_from_precomputed(
+        emb_dir, lab_file, split=split, timing_info=timing
+    )
+    got = my_data.load_dataset_from_precomputed(
+        emb_dir, lab_file, split=split, timing_info=timing
+    )
+    for part in range(3):
+        _assert_same_docs(want[0][part], got[0][part])
+    emb0 = _as_dict(got[0][0]).popitem()[1][0]
+    assert emb0.shape[1] == 10  # 8 + the 2 real timing features
