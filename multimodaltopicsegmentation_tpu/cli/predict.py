@@ -418,6 +418,11 @@ def build_parser():
     parser.add_argument("--adaptive_uniform", "-aus", action="store_true")
     parser.add_argument("--threshold", "-th", default=0.5, type=float)
     parser.add_argument("--return_just_segmentation", "-rjs", action="store_false")
+    # source-audio extension for the segment-writing step (the reference
+    # hardcodes '.wav' in its Predictor; with mp3 decode supported the
+    # corpus may be .mp3 end to end)
+    parser.add_argument("--audio_extension", "-ext", default=".wav",
+                        choices=[".wav", ".mp3"])
     return parser
 
 
@@ -428,6 +433,7 @@ def cli_main(argv=None):
             args.best_model_path,
             adaptive_uniform_interval=args.adaptive_uniform,
             uniform_interval=args.uniform_interval,
+            original_audio_extension=getattr(args, "audio_extension", ".wav"),
         )
     else:
         predictor = Predictor(
@@ -438,6 +444,7 @@ def cli_main(argv=None):
             adaptive_uniform_interval=args.adaptive_uniform,
             uniform_interval=args.uniform_interval,
             threshold=args.threshold,
+            original_audio_extension=getattr(args, "audio_extension", ".wav"),
         )
 
     double = getattr(predictor, "double", False)

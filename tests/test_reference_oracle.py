@@ -664,3 +664,61 @@ def test_recurrent_longt5_oracle(ref, rng):
         want = tm.loss(torch.from_numpy(x), lt, torch.from_numpy(tags)).item()
     got = model.loss(params, jnp.asarray(x), jnp.asarray(lengths), jnp.asarray(tags))
     np.testing.assert_allclose(float(got), want, rtol=1e-4, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# the sliding-window attention CORE vs HF's LongformerSelfAttention — the
+# reference's missing longformer_noffn module is a vendored copy of this
+# exact class (SURVEY.md §2.0 row 10), so this is the closest executable
+# oracle for the RecurrentLongformer MHA blocks
+# ---------------------------------------------------------------------------
+
+def test_longformer_self_attention_core_oracle(rng):
+    import torch as t
+    from transformers import LongformerConfig
+    from transformers.models.longformer.modeling_longformer import (
+        LongformerSelfAttention,
+    )
+
+    from multimodaltopicsegmentation_tpu.ops.attention import (
+        local_attention,
+        merge_heads,
+        split_heads,
+    )
+
+    t.manual_seed(14)
+    D, heads, window = 16, 2, 4
+    c = LongformerConfig()
+    c.hidden_size, c.num_attention_heads = D, heads
+    c.attention_window, c.num_hidden_layers = [window], 1
+    hf = LongformerSelfAttention(c, layer_id=0).eval()
+
+    B, L = 2, 16
+    x = rng.standard_normal((B, L, D)).astype(np.float32)
+    lengths = np.array([16, 12])
+    am = np.zeros((B, L), np.float32)
+    am[1, 12:] = -10000.0  # HF convention: negative = padding-masked key
+
+    with torch.no_grad():
+        want = hf(
+            torch.from_numpy(x),
+            attention_mask=torch.from_numpy(am),
+            layer_head_mask=None,
+            is_index_masked=torch.from_numpy(am) < 0,
+            is_index_global_attn=torch.from_numpy(am) > 0,
+            is_global_attn=False,
+        )[0].numpy()
+
+    sd = hf.state_dict()
+    xj = jnp.asarray(x)
+    q = split_heads(xj @ jnp.asarray(sd["query.weight"].numpy().T)
+                    + jnp.asarray(sd["query.bias"].numpy()), heads)
+    k = split_heads(xj @ jnp.asarray(sd["key.weight"].numpy().T)
+                    + jnp.asarray(sd["key.bias"].numpy()), heads)
+    v = split_heads(xj @ jnp.asarray(sd["value.weight"].numpy().T)
+                    + jnp.asarray(sd["value.bias"].numpy()), heads)
+    mask = jnp.asarray((np.arange(L)[None] < lengths[:, None]).astype(np.float32))
+    got = np.asarray(merge_heads(local_attention(q, k, v, window, mask)))
+
+    for b, Lb in enumerate(lengths):
+        np.testing.assert_allclose(got[b, :Lb], want[b, :Lb], atol=2e-5)
