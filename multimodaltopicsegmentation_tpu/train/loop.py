@@ -750,14 +750,27 @@ class Trainer:
         return best_th, best_val
 
     def predict(self, params, batches: List[dict], threshold: float = 0.5):
-        """Raw tag lists per document (reference predict_step)."""
+        """Raw tag lists per document (reference predict_step); handles the
+        domain-adaptive and double-input architectures like test() does."""
         arch = self.arch
-        decode = jax.jit(lambda p, x, l: arch.decode(p, x, l, threshold))
+        if self.domain:
+            decode = jax.jit(lambda p, x, l, d: arch.decode(p, x, l, d, threshold))
+        elif self.double:
+            decode = jax.jit(lambda p, x, l, x2: arch.decode(p, x, l, threshold, x2=x2))
+        else:
+            decode = jax.jit(lambda p, x, l: arch.decode(p, x, l, threshold))
         out = []
         for batch in batches:
-            scores, tags = decode(
-                params, jnp.asarray(batch["src_tokens"]), jnp.asarray(batch["src_lengths"])
-            )
+            args = [
+                params,
+                jnp.asarray(batch["src_tokens"]),
+                jnp.asarray(batch["src_lengths"]),
+            ]
+            if self.domain:
+                args.append(jnp.asarray(batch["domain"]))
+            elif self.double:
+                args.append(jnp.asarray(batch["src_tokens2"]))
+            scores, tags = decode(*args)
             tags_np = np.asarray(tags)
             for i in range(batch.get("n_real", len(batch["src_lengths"]))):
                 L = int(batch["src_lengths"][i])

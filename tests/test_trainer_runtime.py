@@ -188,3 +188,36 @@ def test_mesh_fit_domain_adapt_matches_single_device(tmp_path, rng):
     hist_mesh = fit(make_mesh(8, model_parallel=1), "b")
     for r, m in zip(hist_ref, hist_mesh):
         assert r["training_loss"] == pytest.approx(m["training_loss"], rel=2e-5)
+
+
+def test_predict_handles_domain_and_double(tmp_path):
+    """Trainer.predict must route the extra inputs exactly like test()."""
+    rng = np.random.default_rng(0)
+    B, L = 3, 12
+
+    def batch(D, extra=None):
+        b = {
+            "src_tokens": rng.standard_normal((B, L, D)).astype(np.float32),
+            "src_lengths": np.full((B,), L, np.int64),
+            "tgt_tokens": (rng.random((B, L)) < 0.2).astype(np.float32),
+        }
+        if extra == "domain":
+            b["domain"] = np.asarray([1, 0, 1], np.int64)
+        if extra == "double":
+            b["src_tokens2"] = rng.standard_normal((B, L, 7)).astype(np.float32)
+        return b
+
+    cfg = TaggerConfig(embedding_dim=10, hidden_dim=8, num_layers=1,
+                       switch="dense", loss_fn="FocalLoss")
+    t = Trainer("SwitchBiLSTM", cfg, max_epochs=1, check_dir=str(tmp_path / "a"),
+                expert_parallel=False)
+    params = t.arch.init(__import__("jax").random.PRNGKey(0))
+    tags = t.predict(params, [batch(10, "domain")])
+    assert len(tags) == B and all(len(x) == L for x in tags)
+
+    cfg2 = TaggerConfig(embedding_dim=10, embedding_dim2=7, hidden_dim=8,
+                        num_layers=1, loss_fn="FocalLoss")
+    t2 = Trainer("BiLSTMLateFusion", cfg2, max_epochs=1, check_dir=str(tmp_path / "b"))
+    params2 = t2.arch.init(__import__("jax").random.PRNGKey(0))
+    tags2 = t2.predict(params2, [batch(10, "double")])
+    assert len(tags2) == B and all(len(x) == L for x in tags2)
