@@ -248,3 +248,89 @@ def test_real_timing_pickle_contract(ref, tmp_path):
         _assert_same_docs(want[0][part], got[0][part])
     emb0 = _as_dict(got[0][0]).popitem()[1][0]
     assert emb0.shape[1] == 10  # 8 + the 2 real timing features
+
+
+# ---------------------------------------------------------------------------
+# extract_embeddings label alignment (extract_embeddings.py:28-105) — the
+# functions that DEFINE the training labels; importable with audio-dep stubs
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def ref_extract():
+    import importlib.machinery
+
+    # resolve the real transformers symbols BEFORE stubbing librosa:
+    # transformers' lazy import machinery probes optional audio packages
+    # and chokes on spec-less stub modules
+    from transformers import Wav2Vec2Model  # noqa: F401
+
+    def stub(name):
+        m = types.ModuleType(name)
+        m.__spec__ = importlib.machinery.ModuleSpec(name, loader=None)
+        sys.modules.setdefault(name, m)
+        return sys.modules[name]
+
+    lb = stub("librosa")
+    lb.yin = None
+    stub("soundfile")
+    sb = stub("speechbrain")
+    sp = stub("speechbrain.pretrained")
+    sp.EncoderClassifier = object
+    sp.VAD = object
+    sb.pretrained = sp
+    stub("openl3")
+    sys.path.insert(0, REF)
+    try:
+        import importlib
+
+        ee = importlib.import_module("extract_embeddings")
+    finally:
+        sys.path.remove(REF)
+    assert ee.__file__.startswith(REF)
+    return ee
+
+
+def test_uniform_segments_oracle(ref_extract, rng):
+    from multimodaltopicsegmentation_tpu.dsp import unitize
+
+    for trial in range(30):
+        n_topics = int(rng.integers(1, 6))
+        # end-times grow by 0..9 s: zero-growth topics hit the reference's
+        # IndexError quirk branches
+        ends = np.cumsum(rng.random(n_topics) * 9).tolist()
+        lab_times = [(0.0 if i == 0 else ends[i - 1], e) for i, e in enumerate(ends)]
+        for dur in (1, 2):
+            for append in (False, True):
+                want = ref_extract.create_uniform_segments(
+                    list(lab_times), segment_duration=dur, append_labs=append
+                )
+                got = unitize.create_uniform_segments(
+                    list(lab_times), segment_duration=dur, append_labs=append
+                )
+                assert got[0] == want[0], (trial, dur, append, lab_times)
+                assert got[1] == want[1], (trial, dur, append, lab_times)
+
+
+def test_vad_segments_oracle(ref_extract, rng):
+    from multimodaltopicsegmentation_tpu.dsp import unitize
+
+    for trial in range(30):
+        n_spans = int(rng.integers(2, 12))
+        starts = np.cumsum(rng.random(n_spans) * 3).tolist()
+        spans_sb = [(s, s + float(rng.random()) * 2.5) for s in starts]
+        spans_ina = [("speech", s, e) for s, e in spans_sb]
+        n_topics = int(rng.integers(1, 5))
+        # topic ends spread over (and sometimes beyond) the span range;
+        # clustered ends produce empty topic groups (the pop quirk)
+        ends = sorted(float(rng.random()) * spans_sb[-1][1] * 1.2 for _ in range(n_topics))
+        lab_times = [(0.0, e) for e in ends]
+        for speechbrain, spans in ((True, spans_sb), (False, spans_ina)):
+            want = ref_extract.create_vad_segments(
+                list(spans), list(lab_times), vad=True, speechbrain=speechbrain
+            )
+            got = unitize.create_vad_segments(
+                list(spans), list(lab_times), speechbrain=speechbrain
+            )
+            assert [list(g) for g in got[0]] == [list(g) for g in want[0]], (
+                trial, speechbrain, spans, lab_times)
+            assert got[1] == want[1], (trial, speechbrain, spans, lab_times)
