@@ -316,16 +316,24 @@ def main():
         }
 
         # MFU accounting: achieved TFLOP/s of the predict path against the
-        # chip's bf16 peak (analytic FLOPs — see wav2vec2_flops_per_audio_sec)
-        from multimodaltopicsegmentation_tpu.encoders.wav2vec2 import Wav2Vec2Config
+        # chip's bf16 peak (analytic FLOPs — see wav2vec2_flops_per_audio_sec).
+        # Guarded separately: an accounting failure must never discard the
+        # already-measured headline value into the fallback branch.
+        peak = 0.0
+        try:
+            from multimodaltopicsegmentation_tpu.encoders.wav2vec2 import (
+                Wav2Vec2Config,
+            )
 
-        peak = device_peak_tflops()
-        predict_tflops = wav2vec2_flops_per_audio_sec(Wav2Vec2Config.base()) * (
-            value * 60.0
-        ) / 1e12
-        record["predict_tflops"] = round(predict_tflops, 1)
-        if peak:
-            record["predict_mfu_pct"] = round(100.0 * predict_tflops / peak, 1)
+            peak = device_peak_tflops()
+            predict_tflops = wav2vec2_flops_per_audio_sec(Wav2Vec2Config.base()) * (
+                value * 60.0
+            ) / 1e12
+            record["predict_tflops"] = round(predict_tflops, 1)
+            if peak:
+                record["predict_mfu_pct"] = round(100.0 * predict_tflops / peak, 1)
+        except Exception as e:  # noqa: BLE001
+            print(f"MFU accounting failed ({e})", file=sys.stderr)
 
         # train-path regression guard: flagship grad-step throughput + MFU
         try:

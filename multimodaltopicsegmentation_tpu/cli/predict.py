@@ -247,6 +247,15 @@ class Predictor(BasePredictor):
                 f"second-modality folder {embedding_folder2!r} does not hold "
                 f"the same documents as {embedding_folder!r}"
             )
+            # unit counts must agree per document: the two streams share one
+            # length vector in the fused decode, so a mismatch would silently
+            # truncate/mask modality-2 units (or crash in a shape error)
+            for e1, e2, name in zip(embeddings, embeddings2, file_names):
+                assert len(e1) == len(e2), (
+                    f"{name}: {len(e1)} units in {embedding_folder!r} vs "
+                    f"{len(e2)} in {embedding_folder2!r} — extract both "
+                    "modalities with the same unitization"
+                )
 
         if len(jax.devices()) > 1 and not self.double:
             # shard documents over the 'data' mesh axis (ICI data parallelism)

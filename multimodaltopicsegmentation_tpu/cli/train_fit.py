@@ -372,10 +372,8 @@ def main(args):
         if why is None:
             use_parallel_grid = True
         else:
-            import sys as _sys
-
             msg = f"--parallel_grid ignored: {why}; training serially."
-            print(f"WARNING: {msg}", file=_sys.stderr)
+            print(f"WARNING: {msg}", file=sys.stderr)
             with open("logs", "a") as f:
                 f.write(msg + "\n")
     if use_parallel_grid:

@@ -685,7 +685,27 @@ class Trainer:
         """
         candidates = [0.05, 0.1, 0.2, 0.3, 0.4, 0.5, 0.6]
         arch = self.arch
-        if self.domain:
+        if self.seq_mesh is not None:
+            # same sharded path test() uses — the full-document activations
+            # that motivated sequence sharding do not fit one chip here either
+            from ..parallel.sequence import sequence_sharded_transformer_scores
+
+            seq_mesh = self.seq_mesh
+            decode_scores = jax.jit(
+                lambda p, x, l: sequence_sharded_transformer_scores(
+                    seq_mesh, arch, p, x, l, axis="seq"
+                )
+            )
+        elif self.expert_mesh is not None:
+            from ..parallel.expert import expert_sharded_switch_scores
+
+            ex_mesh = self.expert_mesh
+            decode_scores = jax.jit(
+                lambda p, x, l, d: expert_sharded_switch_scores(
+                    ex_mesh, arch, p, x, l, d
+                )
+            )
+        elif self.domain:
             decode_scores = jax.jit(lambda p, x, l, d: arch.decode(p, x, l, d, 0.5)[0])
         elif self.double:
             decode_scores = jax.jit(lambda p, x, l, x2: arch.decode(p, x, l, 0.5, x2=x2)[0])
@@ -693,6 +713,8 @@ class Trainer:
             decode_scores = jax.jit(lambda p, x, l: arch.decode(p, x, l, 0.5)[0])
         docs = []
         for batch in valid_batches:
+            if self.seq_mesh is not None:
+                batch = self._pad_unit_axis(batch)
             args = [
                 params,
                 jnp.asarray(batch["src_tokens"]),
@@ -751,9 +773,27 @@ class Trainer:
 
     def predict(self, params, batches: List[dict], threshold: float = 0.5):
         """Raw tag lists per document (reference predict_step); handles the
-        domain-adaptive and double-input architectures like test() does."""
+        domain-adaptive, double-input, and sharded modes like test() does."""
         arch = self.arch
-        if self.domain:
+        if self.seq_mesh is not None:
+            from ..parallel.sequence import sequence_sharded_transformer_decode
+
+            seq_mesh = self.seq_mesh
+            decode = jax.jit(
+                lambda p, x, l: sequence_sharded_transformer_decode(
+                    seq_mesh, arch, p, x, l, threshold, axis="seq"
+                )
+            )
+        elif self.expert_mesh is not None:
+            from ..parallel.expert import expert_sharded_switch_decode
+
+            ex_mesh = self.expert_mesh
+            decode = jax.jit(
+                lambda p, x, l, d: expert_sharded_switch_decode(
+                    ex_mesh, arch, p, x, l, d, threshold
+                )
+            )
+        elif self.domain:
             decode = jax.jit(lambda p, x, l, d: arch.decode(p, x, l, d, threshold))
         elif self.double:
             decode = jax.jit(lambda p, x, l, x2: arch.decode(p, x, l, threshold, x2=x2))
@@ -761,6 +801,8 @@ class Trainer:
             decode = jax.jit(lambda p, x, l: arch.decode(p, x, l, threshold))
         out = []
         for batch in batches:
+            if self.seq_mesh is not None:
+                batch = self._pad_unit_axis(batch)
             args = [
                 params,
                 jnp.asarray(batch["src_tokens"]),

@@ -38,7 +38,11 @@ def _load_native():
 # is the native rate of nearly all broadcast mp3s, so the conversion is
 # usually an identity), then our polyphase resampler takes it to target_sr
 _MP3_DECODE_SR = 44100
-_mp3_lock = None
+# created eagerly: a lazy check-then-act would race when prefetch_audio's
+# worker threads hit their first .mp3 files simultaneously
+import threading as _threading  # noqa: E402
+
+_mp3_lock = _threading.Lock()
 
 
 def _decode_mp3(path: str) -> Tuple[np.ndarray, int]:
@@ -62,11 +66,6 @@ def _decode_mp3(path: str) -> Tuple[np.ndarray, int]:
 
     # pygame's mixer is process-global state; serialize decodes (the
     # prefetcher runs load_audio from worker threads)
-    global _mp3_lock
-    if _mp3_lock is None:
-        import threading
-
-        _mp3_lock = threading.Lock()
     with _mp3_lock:
         if not pygame.mixer.get_init():
             pygame.mixer.init(frequency=_MP3_DECODE_SR, size=-16, channels=2)

@@ -160,3 +160,41 @@ def test_train_fit_cli_sequence_shards(tmp_path):
     assert os.path.exists(os.path.join(exp, "results.txt"))
     txt = open(os.path.join(exp, "results.txt")).read()
     assert "Neural architecture: Transformer" in txt
+
+
+def test_sharded_modes_route_search_threshold_and_predict(tmp_path, rng):
+    """search_threshold and predict must use the sharded decode exactly like
+    test() (review finding: they bypassed it and ran unsharded)."""
+    cfg = TaggerConfig(
+        embedding_dim=16, hidden_dim=32, num_layers=1, nheads=2,
+        attention_window=4, loss_fn="FocalLoss",
+    )
+    valid = _batches(rng, L=60, n_batches=1)  # 60 also exercises unit padding
+    t_ref = _trainer("Transformer", cfg, tmp_path, "str")
+    params = t_ref.arch.init(jax.random.PRNGKey(3))
+    th_ref, val_ref = t_ref.search_threshold(params, [dict(b) for b in valid])
+    pred_ref = t_ref.predict(params, [dict(b) for b in valid])
+
+    t_seq = _trainer("Transformer", cfg, tmp_path, "sts", sequence_shards=4)
+    th_seq, val_seq = t_seq.search_threshold(params, [dict(b) for b in valid])
+    pred_seq = t_seq.predict(params, [dict(b) for b in valid])
+    assert th_seq == th_ref
+    np.testing.assert_allclose(val_seq, val_ref, rtol=1e-5)
+    assert pred_seq == pred_ref
+
+    ecfg = TaggerConfig(
+        embedding_dim=12, hidden_dim=8, num_layers=1, switch="lstm",
+        loss_fn="FocalLoss",
+    )
+    ev = _batches(rng, D=12, n_batches=1, domains=[1, 0, 0, 1])
+    t_dense = _trainer("SwitchBiLSTM", ecfg, tmp_path, "ed", expert_parallel=False)
+    eparams = t_dense.arch.init(jax.random.PRNGKey(4))
+    th_d, val_d = t_dense.search_threshold(eparams, [dict(b) for b in ev])
+    pred_d = t_dense.predict(eparams, [dict(b) for b in ev])
+    t_ex = _trainer("SwitchBiLSTM", ecfg, tmp_path, "ee")
+    assert t_ex.expert_mesh is not None
+    th_e, val_e = t_ex.search_threshold(eparams, [dict(b) for b in ev])
+    pred_e = t_ex.predict(eparams, [dict(b) for b in ev])
+    assert th_e == th_d
+    np.testing.assert_allclose(val_e, val_d, rtol=1e-5)
+    assert pred_e == pred_d
