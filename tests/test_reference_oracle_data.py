@@ -334,3 +334,59 @@ def test_vad_segments_oracle(ref_extract, rng):
             assert [list(g) for g in got[0]] == [list(g) for g in want[0]], (
                 trial, speechbrain, spans, lab_times)
             assert got[1] == want[1], (trial, speechbrain, spans, lab_times)
+
+
+def test_add_dataset_oracle(ref, tmp_path, monkeypatch):
+    """--both_datasets sibling-corpus merging (load_datasets_precomputed.py:
+    14-54): the Radio<->Non name derivation at the fixed ../<c>/<c> layout
+    and the per-split concatenation, on the reference's working
+    standard-split path (its k-fold path reads an unbound `split` —
+    documented defect, not replicated)."""
+    import json
+    from types import SimpleNamespace
+
+    rng = np.random.default_rng(2)
+
+    def corpus(emb_dir, lab_path, n_docs, prefix):
+        os.makedirs(emb_dir, exist_ok=True)
+        labs, names = {}, []
+        for i in range(n_docs):
+            name = f"{prefix}{i:02d}"
+            np.save(os.path.join(emb_dir, name + ".npy"),
+                    rng.standard_normal((12, 8)).astype(np.float32))
+            labs[name] = [0] * 5 + [1] + [0] * 5 + [1]
+            names.append(name + ".npy")
+        with open(lab_path, "wb") as f:
+            pickle.dump(labs, f)
+        return names
+
+    work = tmp_path / "work"
+    os.makedirs(work)
+    p_names = corpus(str(work / "RadioNewsT" / "emb"),
+                     str(work / "RadioNewsT" / "labs_dict.pkl"), 6, "r")
+    s_root = tmp_path / "NonNewsT"
+    s_names = corpus(str(s_root / "NonNewsT" / "emb"),
+                     str(s_root / "NonNewsT" / "labs_dict.pkl"), 5, "n")
+    with open(s_root / "NonNews_split.json", "w") as f:
+        json.dump({"train": s_names[:3], "test": s_names[3:4],
+                   "validation": s_names[4:]}, f)
+    p_split = str(work / "split.json")
+    with open(p_split, "w") as f:
+        json.dump({"train": p_names[:4], "test": p_names[4:5],
+                   "validation": p_names[5:]}, f)
+
+    monkeypatch.chdir(work)
+    args = SimpleNamespace(
+        embedding_folder="RadioNewsT/emb", embedding_folder2=None,
+        delete_last_sentence=False, k_folds=5, mask_inner_sentences=False,
+        mask_probability=0.9, standard_split=p_split,
+    )
+    base = my_data.load_dataset_from_precomputed(
+        "RadioNewsT/emb", "RadioNewsT/labs_dict.pkl", split=p_split
+    )
+    want = ref.loader.add_dataset(args, [list(map(list, f)) for f in base])
+    got = my_data.add_dataset(args, [list(map(list, f)) for f in base])
+    assert len(want) == len(got)
+    for wf, gf in zip(want, got):
+        for ws, gs in zip(wf, gf):
+            _assert_same_docs(ws, gs)

@@ -333,3 +333,37 @@ def test_train_fit_cli_late_fusion(tmp_path):
     assert "Second sentence encoder: roberta" in txt
     assert "Mean Pk obtained is" in txt
     assert os.path.exists(os.path.join(exp, "checkpoints", "best_model"))
+
+
+@pytest.mark.slow
+def test_parallel_grid_late_fusion_cli(tmp_path, capsys):
+    """-pg with -arc BiLSTMLateFusion runs lockstep through the real CLI
+    (round-3 grid extension) — no ineligibility warning, results produced."""
+    corpus = tmp_path / "corpus"
+    emb_dir, lab_file, split = make_synthetic_corpus(str(corpus), n_docs=8, dim=32)
+    emb2 = _second_modality(emb_dir, str(tmp_path / "emb2"))
+    exp = str(tmp_path / "exp_pglf")
+    from multimodaltopicsegmentation_tpu.cli.train_fit import build_parser, main
+    import multimodaltopicsegmentation_tpu.cli.train_fit as tf
+
+    tf.EMBEDDING_SIZES["CNN"] = 32
+    tf.EMBEDDING_SIZES["roberta"] = 24
+    cwd = os.getcwd()
+    try:
+        args = build_parser().parse_args([
+            "-exp", exp, "-arc", "BiLSTMLateFusion", "-enc", "CNN",
+            "-enc2", "roberta", "-ef", emb_dir, "-ef2", emb2,
+            "-lf", lab_file, "-lr", "1e-2",
+            "-bs", "4", "-max", "3", "-vp", "0.2", "-pat", "5",
+            "-loss", "FocalLoss", "-s_last", "-split", split,
+            "-hs", "-huss", "16", "-nlss", "1",
+            "-diss", "0.0", "0.2", "-doss", "0.0",
+            "-pg",
+        ])
+        main(args)
+    finally:
+        os.chdir(cwd)
+    assert "--parallel_grid ignored" not in capsys.readouterr().err
+    txt = open(os.path.join(exp, "results.txt")).read()
+    assert "Neural architecture: BiLSTMLateFusion" in txt
+    assert "Mean Pk obtained is" in txt
