@@ -367,3 +367,46 @@ def test_parallel_grid_late_fusion_cli(tmp_path, capsys):
     txt = open(os.path.join(exp, "results.txt")).read()
     assert "Neural architecture: BiLSTMLateFusion" in txt
     assert "Mean Pk obtained is" in txt
+
+
+@pytest.mark.slow
+def test_train_fit_cli_crf_with_timing(tmp_path):
+    """BASELINE config 3 (low-level acoustic + BiLSTM-CRF) through the real
+    CLI, with --timing_file appending 2 features per unit exactly like
+    run_radionews_lowlevel_acoustic_features.sh:9 does."""
+    import pickle
+
+    corpus = tmp_path / "corpus"
+    emb_dir, lab_file, split = make_synthetic_corpus(str(corpus), n_docs=8, dim=32)
+    rng = np.random.default_rng(1)
+    times = {}
+    for f in sorted(os.listdir(emb_dir)):
+        if f.endswith(".npy"):
+            times[f[:-4]] = rng.random(
+                (len(np.load(os.path.join(emb_dir, f))), 2)
+            ).astype(np.float32).tolist()
+    timing = str(tmp_path / "times.pkl")
+    with open(timing, "wb") as fh:
+        pickle.dump(times, fh)
+
+    exp = str(tmp_path / "exp_crf")
+    from multimodaltopicsegmentation_tpu.cli.train_fit import build_parser, main
+    import multimodaltopicsegmentation_tpu.cli.train_fit as tf
+
+    tf.EMBEDDING_SIZES["CNN"] = 32
+    cwd = os.getcwd()
+    try:
+        args = build_parser().parse_args([
+            "-exp", exp, "-arc", "biLSTMCRF", "-enc", "CNN",
+            "-ef", emb_dir, "-lf", lab_file, "-lr", "1e-2",
+            "-bs", "4", "-max", "4", "-vp", "0.2", "-pat", "5",
+            "-s_last", "-ar", "-as", "-split", split,
+            "-hu", "16", "-nl", "1", "--timing_file", timing,
+        ])
+        main(args)
+    finally:
+        os.chdir(cwd)
+    txt = open(os.path.join(exp, "results.txt")).read()
+    assert "Neural architecture: biLSTMCRF" in txt
+    assert "Mean Pk obtained is" in txt
+    assert os.path.exists(os.path.join(exp, "checkpoints", "best_model"))
