@@ -388,5 +388,6 @@ def test_add_dataset_oracle(ref, tmp_path, monkeypatch):
     got = my_data.add_dataset(args, [list(map(list, f)) for f in base])
     assert len(want) == len(got)
     for wf, gf in zip(want, got):
+        assert len(wf) == len(gf)  # every split must be compared
         for ws, gs in zip(wf, gf):
             _assert_same_docs(ws, gs)

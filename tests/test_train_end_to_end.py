@@ -364,6 +364,10 @@ def test_parallel_grid_late_fusion_cli(tmp_path, capsys):
     finally:
         os.chdir(cwd)
     assert "--parallel_grid ignored" not in capsys.readouterr().err
+    # positive proof the lockstep path ran: GridTrainer writes per-config
+    # checkpoint dirs named grid_<tag>_di<..>_do<..> (train/grid.py)
+    ckpts = os.listdir(os.path.join(exp, "checkpoints"))
+    assert any(c.startswith("grid_") for c in ckpts), ckpts
     txt = open(os.path.join(exp, "results.txt")).read()
     assert "Neural architecture: BiLSTMLateFusion" in txt
     assert "Mean Pk obtained is" in txt
