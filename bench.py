@@ -11,7 +11,16 @@ is measured on a 30-unit slice and extrapolated linearly (it is strictly
 serial per unit).
 
 Falls back to the training-step throughput metric if the predict path fails.
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Output contract (the driver parses the LAST stdout line as JSON): the
+headline record {"metric", "value", "unit", "vs_baseline", baseline fields,
+predict MFU} is printed the moment the wav2vec2 measurement lands, so a
+harness timeout after that point still captures it; the slower extras
+(train-step regression guard, MFCC side-bench) then print ONE enriched
+record as a second JSON line. Progress goes to stderr only. The serial-CPU
+torch baseline runs in a host thread overlapped with the TPU compile, and
+its own measured throughput/sample size are recorded so vs_baseline drift
+is attributable to the baseline host (VERDICT r3 weakness #2).
 """
 import json
 import time
@@ -276,9 +285,10 @@ def bench_train_step():
     return B * L / dt, dt, lstm_train_step_flops(B, L, Dm, H, LAYERS)
 
 
-def _retry(fn, attempts=2, wait=20):
+def _retry(fn, attempts=2, wait=5):
     """The remote TPU backend occasionally drops a connection mid-run
-    (transient INTERNAL errors); one clean retry recovers it."""
+    (transient INTERNAL errors); one clean retry recovers it. The sleep is
+    bounded (5 s) so a retry can't push the headline past a harness timeout."""
     for i in range(attempts):
         try:
             return fn()
@@ -290,66 +300,34 @@ def _retry(fn, attempts=2, wait=20):
 
 def main():
     import sys
+    import threading
+
+    def _log(msg):
+        print(msg, file=sys.stderr, flush=True)
+
+    # The serial HF-torch CPU baseline (~1-2 min) overlaps the TPU-side
+    # compiles: the host is idle while the remote backend compiles, so the
+    # wall-clock cost of the baseline is mostly hidden.
+    base = {}
+
+    def _baseline_worker():
+        t0 = time.time()
+        try:
+            base["value"] = bench_predict_wav2vec_cpu_baseline()
+        except Exception as e:  # noqa: BLE001
+            base["error"] = str(e)
+        base["wall_s"] = time.time() - t0
+
+    bt = threading.Thread(target=_baseline_worker, daemon=True)
+    bt.start()
 
     try:
         # headline: the neural-encoder (wav2vec2) predict path — the
         # flagship BASELINE.md configuration and the reference's dominant
         # inference cost
         value = _retry(bench_predict_wav2vec_tpu)
-        baseline = bench_predict_wav2vec_cpu_baseline()
-        try:
-            mfcc_v = bench_predict_tpu()
-            mfcc_b = bench_predict_cpu_baseline()
-            print(
-                f"mfcc_path: {mfcc_v:.2f} audio-min/s "
-                f"({mfcc_v / mfcc_b:.2f}x serial-CPU baseline)",
-                file=sys.stderr,
-            )
-        except Exception as e:  # noqa: BLE001
-            print(f"mfcc side-bench failed ({e})", file=sys.stderr)
-
-        record = {
-            "metric": "predict_wav2vec2_audio_min_per_sec",
-            "value": round(value, 2),
-            "unit": "audio-min/s",
-            "vs_baseline": round(value / baseline, 2),
-        }
-
-        # MFU accounting: achieved TFLOP/s of the predict path against the
-        # chip's bf16 peak (analytic FLOPs — see wav2vec2_flops_per_audio_sec).
-        # Guarded separately: an accounting failure must never discard the
-        # already-measured headline value into the fallback branch.
-        peak = 0.0
-        try:
-            from multimodaltopicsegmentation_tpu.encoders.wav2vec2 import (
-                Wav2Vec2Config,
-            )
-
-            peak = device_peak_tflops()
-            predict_tflops = wav2vec2_flops_per_audio_sec(Wav2Vec2Config.base()) * (
-                value * 60.0
-            ) / 1e12
-            record["predict_tflops"] = round(predict_tflops, 1)
-            if peak:
-                record["predict_mfu_pct"] = round(100.0 * predict_tflops / peak, 1)
-        except Exception as e:  # noqa: BLE001
-            print(f"MFU accounting failed ({e})", file=sys.stderr)
-
-        # train-path regression guard: flagship grad-step throughput + MFU
-        try:
-            t_units, t_step, t_flops = _retry(bench_train_step)
-            record["train_units_per_sec"] = round(t_units, 0)
-            record["train_step_ms"] = round(t_step * 1e3, 2)
-            train_tflops = t_flops / t_step / 1e12
-            record["train_tflops"] = round(train_tflops, 1)
-            if peak:
-                record["train_mfu_pct"] = round(100.0 * train_tflops / peak, 1)
-        except Exception as e:  # noqa: BLE001
-            print(f"train side-bench failed ({e})", file=sys.stderr)
-
-        print(json.dumps(record))
     except Exception as e:  # noqa: BLE001
-        print(f"predict-path bench failed ({e}); falling back", file=sys.stderr)
+        _log(f"predict-path bench failed ({e}); falling back")
         value, _dt, _fl = bench_train_step()
         print(
             json.dumps(
@@ -359,8 +337,96 @@ def main():
                     "unit": "units/s",
                     "vs_baseline": 0.0,
                 }
-            )
+            ),
+            flush=True,
         )
+        return
+
+    bt.join()
+    record = {
+        "metric": "predict_wav2vec2_audio_min_per_sec",
+        "value": round(value, 2),
+        "unit": "audio-min/s",
+    }
+    if "value" in base:
+        record["vs_baseline"] = round(value / base["value"], 2)
+        record["baseline_audio_min_per_sec"] = round(base["value"], 4)
+        record["baseline_units"] = 20
+        record["baseline_wall_s"] = round(base["wall_s"], 1)
+    else:
+        _log(f"CPU baseline failed ({base.get('error')}); vs_baseline omitted")
+        record["vs_baseline"] = 0.0
+
+    # MFU accounting: achieved TFLOP/s of the predict path against the
+    # chip's bf16 peak (analytic FLOPs — see wav2vec2_flops_per_audio_sec).
+    # Guarded separately: an accounting failure must never discard the
+    # already-measured headline value.
+    peak = 0.0
+    try:
+        from multimodaltopicsegmentation_tpu.encoders.wav2vec2 import (
+            Wav2Vec2Config,
+        )
+
+        peak = device_peak_tflops()
+        predict_tflops = wav2vec2_flops_per_audio_sec(Wav2Vec2Config.base()) * (
+            value * 60.0
+        ) / 1e12
+        record["predict_tflops"] = round(predict_tflops, 1)
+        if peak:
+            record["predict_mfu_pct"] = round(100.0 * predict_tflops / peak, 1)
+    except Exception as e:  # noqa: BLE001
+        _log(f"MFU accounting failed ({e})")
+
+    # Headline out NOW — a harness timeout during the extras below still
+    # leaves a parseable record on stdout.
+    print(json.dumps(record), flush=True)
+
+    # --- extras: enrich the record and print it again as the LAST line ---
+    enriched = False
+
+    # train-path regression guard: flagship grad-step throughput + MFU
+    try:
+        t_units, t_step, t_flops = _retry(bench_train_step)
+        record["train_units_per_sec"] = round(t_units, 0)
+        record["train_step_ms"] = round(t_step * 1e3, 2)
+        train_tflops = t_flops / t_step / 1e12
+        record["train_tflops"] = round(train_tflops, 1)
+        if peak:
+            record["train_mfu_pct"] = round(100.0 * train_tflops / peak, 1)
+        enriched = True
+    except Exception as e:  # noqa: BLE001
+        _log(f"train side-bench failed ({e})")
+
+    try:
+        mfcc_v = bench_predict_tpu()
+        mfcc_b = bench_predict_cpu_baseline()
+        _log(
+            f"mfcc_path: {mfcc_v:.2f} audio-min/s "
+            f"({mfcc_v / mfcc_b:.2f}x serial-CPU baseline)"
+        )
+        record["mfcc_audio_min_per_sec"] = round(mfcc_v, 2)
+        enriched = True
+    except Exception as e:  # noqa: BLE001
+        _log(f"mfcc side-bench failed ({e})")
+
+    # The first baseline ran concurrently with the TPU dispatches; re-measure
+    # it on the now-quiet host and use the FASTER of the two samples for the
+    # ratio — conservative for us, and both raw samples stay in the record so
+    # the historical 900-1300x drift is attributable to baseline-host noise.
+    try:
+        t0 = time.time()
+        b2 = bench_predict_wav2vec_cpu_baseline()
+        record["baseline_audio_min_per_sec_serial"] = round(b2, 4)
+        record["baseline_wall_s_serial"] = round(time.time() - t0, 1)
+        best_base = max(b2, base.get("value", 0.0))
+        record["baseline_audio_min_per_sec"] = round(best_base, 4)
+        record["vs_baseline"] = round(value / best_base, 2)
+        enriched = True
+    except Exception as e:  # noqa: BLE001
+        _log(f"baseline re-measure failed ({e})")
+
+    if enriched:
+        print(json.dumps(record), flush=True)
 
 
 if __name__ == "__main__":
