@@ -225,10 +225,13 @@ class Predictor(BasePredictor):
         import jax
         import jax.numpy as jnp
 
-        assert not os.path.exists(experiment_name), (
-            "The name of this experiment has already been used: please change "
-            f"experiment name or delete {experiment_name}"
-        )
+        # user-input checks raise (not assert: `python -O` strips asserts,
+        # and a silently mismatched folder would produce wrong segmentations)
+        if os.path.exists(experiment_name):
+            raise ValueError(
+                "The name of this experiment has already been used: please "
+                f"change experiment name or delete {experiment_name}"
+            )
         os.makedirs(experiment_name)
 
         embeddings, file_names = load_dataset_for_inference_with_names(embedding_folder)
@@ -236,26 +239,29 @@ class Predictor(BasePredictor):
             print(f"Segmenting the following files:\n{file_names}")
         embeddings2 = None
         if self.double:
-            assert embedding_folder2 is not None, (
-                "late-fusion predict needs the second modality's embedding "
-                "folder (-ef2)"
-            )
+            if embedding_folder2 is None:
+                raise ValueError(
+                    "late-fusion predict needs the second modality's embedding "
+                    "folder (-ef2)"
+                )
             embeddings2, names2 = load_dataset_for_inference_with_names(
                 embedding_folder2
             )
-            assert names2 == file_names, (
-                f"second-modality folder {embedding_folder2!r} does not hold "
-                f"the same documents as {embedding_folder!r}"
-            )
+            if names2 != file_names:
+                raise ValueError(
+                    f"second-modality folder {embedding_folder2!r} does not hold "
+                    f"the same documents as {embedding_folder!r}"
+                )
             # unit counts must agree per document: the two streams share one
             # length vector in the fused decode, so a mismatch would silently
             # truncate/mask modality-2 units (or crash in a shape error)
             for e1, e2, name in zip(embeddings, embeddings2, file_names):
-                assert len(e1) == len(e2), (
-                    f"{name}: {len(e1)} units in {embedding_folder!r} vs "
-                    f"{len(e2)} in {embedding_folder2!r} — extract both "
-                    "modalities with the same unitization"
-                )
+                if len(e1) != len(e2):
+                    raise ValueError(
+                        f"{name}: {len(e1)} units in {embedding_folder!r} vs "
+                        f"{len(e2)} in {embedding_folder2!r} — extract both "
+                        "modalities with the same unitization"
+                    )
 
         if len(jax.devices()) > 1 and not self.double:
             # shard documents over the 'data' mesh axis (ICI data parallelism)
@@ -290,9 +296,22 @@ class Predictor(BasePredictor):
             if self.double:
                 chunk2 = [
                     (e, [0] * len(e), n)
-                    for e, n in zip(embeddings2[i : i + batch_size], file_names[i:])
+                    for e, n in zip(
+                        embeddings2[i : i + batch_size],
+                        file_names[i : i + batch_size],
+                    )
                 ]
-                batch2 = pad_batch(chunk2, crf=False, bucket=True)
+                # identical pad_batch arguments to `chunk` above so both
+                # modalities bucket to the same padded length (unit counts
+                # are validated equal per document)
+                batch2 = pad_batch(
+                    chunk2,
+                    crf=False,
+                    bucket=True,
+                    pad_batch_to=batch_size
+                    if (multi and len(chunk2) < batch_size)
+                    else None,
+                )
                 scores, tags = decode(
                     self.params,
                     jnp.asarray(batch["src_tokens"]),

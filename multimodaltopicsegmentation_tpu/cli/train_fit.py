@@ -168,6 +168,20 @@ def main(args):
         # the pipeline / sequence shards own the devices; Trainer validates
         # architecture, divisibility and device count
         pass
+    elif (
+        expert_parallel is None
+        and args.architecture == "SwitchBiLSTM"
+        and getattr(args, "switch", "dense") == "lstm"
+        and len(jax.devices()) >= 2
+    ):
+        # leave mesh=None so the Trainer's expert-parallel auto-enable fires
+        # (an explicit mesh suppresses it); --expert_parallel off restores
+        # data parallelism over all chips
+        print(
+            "[train_fit] auto-enabling expert parallelism for SwitchBiLSTM "
+            "switch=lstm (pass --expert_parallel off for data parallelism)",
+            file=sys.stderr,
+        )
     elif len(jax.devices()) > 1:
         from ..parallel.mesh import make_mesh
 

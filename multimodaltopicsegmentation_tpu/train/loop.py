@@ -237,11 +237,16 @@ class Trainer:
         # fallback would run BOTH towers on every chip.
         self.expert_mesh = None
         if expert_parallel is None:
+            # auto never overrides an explicitly provided DP/TP mesh: expert
+            # parallelism pins the run to N_EXPERTS device groups, which can
+            # be slower than data parallelism over all chips — only
+            # expert_parallel=True forces the override
             expert_parallel = (
                 self.domain
                 and cfg.switch == "lstm"
                 and self.pipe_mesh is None
                 and self.seq_mesh is None
+                and self.mesh is None
                 and len(jax.devices()) >= 2
             )
         if expert_parallel:
