@@ -27,6 +27,15 @@ from jax import lax
 NEG_INF = -1e9
 
 
+def _flash_default() -> bool:
+    """Whether `use_pallas="auto"` may pick the flash Pallas pair on TPU.
+    Gated on MTS_FLASH_ATTENTION until the flagship A/B lands (default off ->
+    measured decision recorded in docs/PERFORMANCE.md)."""
+    import os
+
+    return os.environ.get("MTS_FLASH_ATTENTION", "0") == "1"
+
+
 def dense_attention(q, k, v, mask=None, bias=None):
     """Reference MHA core. q,k,v: [B, H, L, Dh]; mask: [B, L] (1=valid);
     bias: broadcastable to [B, H, Lq, Lk]."""
@@ -83,7 +92,29 @@ def local_attention(
     block = max(half, 1)
 
     if use_pallas == "auto":
-        use_pallas = False
+        # the flash (streaming-softmax) Pallas pair avoids materializing the
+        # [B,H,nb,block,3b] score tensor in HBM in BOTH directions; it
+        # supports exactly the Longformer-family configuration (scaled
+        # scores, no bias, prefix masks), so auto engages it there on TPU
+        use_pallas = (
+            "flash"
+            if (
+                _flash_default()
+                and bias_fn is None
+                and scale
+                and jax.devices()[0].platform == "tpu"
+            )
+            else False
+        )
+    if use_pallas == "flash":
+        assert bias_fn is None and scale, (
+            "flash local attention supports scaled, bias-free scores only"
+        )
+        from .pallas_attention import flash_local_attention
+
+        if mask is None:
+            mask = jnp.ones((B, L), q.dtype)
+        return flash_local_attention(q, k, v, mask, window)
     if use_pallas is True:
         # the fused kernel supports neither additive score biases (T5
         # relative positions) nor non-prefix masks — silently dropping

@@ -120,3 +120,267 @@ def pallas_local_attention(q, k, v, window: int, mask=None, interpret: bool = Fa
     )(lengths, qf, kf, kf, kf, vf, vf, vf)
 
     return out.reshape(B, H, nb * block, Dh)[:, :, :L]
+
+
+# ---------------------------------------------------------------------------
+# Flash (streaming-softmax) local attention with a custom backward pair.
+#
+# The XLA training path materializes the banded score tensor
+# [B, H, nb, block, 3*block] in HBM once in forward and several more times in
+# the rematerialized backward (softmax weights, dW, dscores) — measured as the
+# dominant HBM traffic of the flagship long-document train step. These kernels
+# keep every score tile in VMEM: forward emits only the output and the per-row
+# logsumexp; backward recomputes score tiles blockwise (one kernel over query
+# blocks for dq, one over key blocks for dk/dv) so nothing score-shaped ever
+# touches HBM. Same banded semantics as the reference's Longformer chunked
+# attention (/root/reference/models/RestrictedTransformerLayer.py:509-636).
+#
+# Scope (mirrors pallas_local_attention): scaled scores, no bias_fn, masks
+# are PREFIX masks (per-row lengths). Padded-query rows get ZERO gradient
+# here; XLA autodiff backpropagates their uniform softmax weights instead,
+# which only differs when the upstream cotangent is nonzero at padded
+# positions — impossible through the library's length-masked losses.
+# ---------------------------------------------------------------------------
+
+
+def _flash_fwd_kernel(len_ref, q_ref, km_ref, ks_ref, kp_ref, vm_ref, vs_ref,
+                      vp_ref, out_ref, lse_ref, *, half: int, block: int,
+                      scale: float):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    length = len_ref[i]
+    qbase = j * block
+
+    q = q_ref[0] * scale
+    qpos = lax.broadcasted_iota(jnp.int32, (block, block), 0) + qbase
+
+    def scores_for(k_ref, koffset):
+        kpos = lax.broadcasted_iota(jnp.int32, (block, block), 1) + qbase + koffset
+        ok = (jnp.abs(kpos - qpos) <= half) & (kpos >= 0) & (kpos < length)
+        s = jnp.dot(q, k_ref[0].T, preferred_element_type=jnp.float32)
+        return jnp.where(ok, s, NEG_INF)
+
+    s = jnp.concatenate(
+        [scores_for(km_ref, -block), scores_for(ks_ref, 0),
+         scores_for(kp_ref, block)], axis=-1)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s - m)
+    l = jnp.maximum(jnp.sum(e, axis=-1, keepdims=True), 1e-20)
+    w = e / l
+
+    out = (
+        jnp.dot(w[:, :block], vm_ref[0], preferred_element_type=jnp.float32)
+        + jnp.dot(w[:, block : 2 * block], vs_ref[0],
+                  preferred_element_type=jnp.float32)
+        + jnp.dot(w[:, 2 * block :], vp_ref[0],
+                  preferred_element_type=jnp.float32)
+    )
+    out_ref[0] = out.astype(out_ref.dtype)
+    lse_ref[0] = m + jnp.log(l)
+
+
+def _flash_dq_kernel(len_ref, q_ref, km_ref, ks_ref, kp_ref, vm_ref, vs_ref,
+                     vp_ref, do_ref, lse_ref, dd_ref, dq_ref, *, half: int,
+                     block: int, scale: float):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    length = len_ref[i]
+    qbase = j * block
+
+    q = q_ref[0]
+    do = do_ref[0].astype(jnp.float32)
+    lse = lse_ref[0]  # [block, 1]
+    dd = dd_ref[0]
+    qpos_col = lax.broadcasted_iota(jnp.int32, (block, 1), 0) + qbase
+    qvalid = qpos_col < length
+    qpos = lax.broadcasted_iota(jnp.int32, (block, block), 0) + qbase
+
+    acc = jnp.zeros((block, q.shape[-1]), jnp.float32)
+    for k_ref, v_ref, koffset in ((km_ref, vm_ref, -block), (ks_ref, vs_ref, 0),
+                                  (kp_ref, vp_ref, block)):
+        kpos = lax.broadcasted_iota(jnp.int32, (block, block), 1) + qbase + koffset
+        ok = (jnp.abs(kpos - qpos) <= half) & (kpos >= 0) & (kpos < length)
+        s = scale * jnp.dot(q, k_ref[0].T, preferred_element_type=jnp.float32)
+        p = jnp.where(ok & qvalid, jnp.exp(s - lse), 0.0)
+        dp = jnp.dot(do, v_ref[0].T, preferred_element_type=jnp.float32)
+        ds = p * (dp - dd)
+        acc = acc + jnp.dot(ds, k_ref[0], preferred_element_type=jnp.float32)
+    dq_ref[0] = (scale * acc).astype(dq_ref.dtype)
+
+
+def _flash_dkv_kernel(len_ref, k_ref, v_ref, qm_ref, qs_ref, qp_ref, dom_ref,
+                      dos_ref, dop_ref, lsem_ref, lses_ref, lsep_ref, ddm_ref,
+                      dds_ref, ddp_ref, dk_ref, dv_ref, *, half: int,
+                      block: int, scale: float):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    length = len_ref[i]
+    kbase = j * block
+
+    k = k_ref[0]
+    v = v_ref[0]
+    kpos_row = lax.broadcasted_iota(jnp.int32, (block, block), 1) + kbase
+    dk = jnp.zeros((block, k.shape[-1]), jnp.float32)
+    dv = jnp.zeros((block, v.shape[-1]), jnp.float32)
+    for q_ref, do_ref, lse_ref, dd_ref, qoffset in (
+        (qm_ref, dom_ref, lsem_ref, ddm_ref, -block),
+        (qs_ref, dos_ref, lses_ref, dds_ref, 0),
+        (qp_ref, dop_ref, lsep_ref, ddp_ref, block),
+    ):
+        q = q_ref[0]
+        do = do_ref[0].astype(jnp.float32)
+        lse = lse_ref[0]
+        dd = dd_ref[0]
+        qpos = lax.broadcasted_iota(jnp.int32, (block, block), 0) + kbase + qoffset
+        ok = (
+            (jnp.abs(kpos_row - qpos) <= half)
+            & (kpos_row < length)
+            & (qpos >= 0)
+            & (qpos < length)
+        )
+        s = scale * jnp.dot(q, k.T, preferred_element_type=jnp.float32)
+        p = jnp.where(ok, jnp.exp(s - lse), 0.0)  # [bq, bk]
+        dv = dv + jnp.dot(p.T, do, preferred_element_type=jnp.float32)
+        dp = jnp.dot(do, v.T, preferred_element_type=jnp.float32)
+        ds = p * (dp - dd)
+        dk = dk + jnp.dot(ds.T, q, preferred_element_type=jnp.float32)
+    dk_ref[0] = (scale * dk).astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
+
+
+def _flash_geometry(L: int, half: int):
+    block = max(-(-half // 8) * 8, 8)
+    nb = -(-L // block)
+    return block, nb, nb * block - L
+
+
+def _flash_prep(x, pad, B, H, nb, block, Dh):
+    x = jnp.pad(x, ((0, 0), (0, 0), (0, pad), (0, 0)))
+    return x.reshape(B * H, nb * block, Dh)
+
+
+def _flash_fwd_impl(q, k, v, mask, window: int, interpret: bool):
+    B, H, L, Dh = q.shape
+    half = window // 2
+    block, nb, pad = _flash_geometry(L, half)
+    lengths = jnp.repeat(jnp.sum(mask.astype(jnp.int32), axis=1), H)
+
+    qf = _flash_prep(q, pad, B, H, nb, block, Dh)
+    kf = _flash_prep(k, pad, B, H, nb, block, Dh)
+    vf = _flash_prep(v, pad, B, H, nb, block, Dh)
+
+    def idx(fn):
+        return lambda i, j, lens: (i, fn(j), 0)
+
+    prev = lambda j: jnp.maximum(j - 1, 0)
+    self_ = lambda j: j
+    nxt = lambda j: jnp.minimum(j + 1, nb - 1)
+    blk = lambda fn: pl.BlockSpec((1, block, Dh), idx(fn))
+    stat = lambda fn: pl.BlockSpec((1, block, 1), idx(fn))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B * H, nb),
+        in_specs=[blk(self_), blk(prev), blk(self_), blk(nxt),
+                  blk(prev), blk(self_), blk(nxt)],
+        out_specs=[blk(self_), stat(self_)],
+    )
+    out, lse = pl.pallas_call(
+        functools.partial(_flash_fwd_kernel, half=half, block=block,
+                          scale=1.0 / math.sqrt(Dh)),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((B * H, nb * block, Dh), q.dtype),
+            jax.ShapeDtypeStruct((B * H, nb * block, 1), jnp.float32),
+        ],
+        interpret=interpret,
+    )(lengths, qf, kf, kf, kf, vf, vf, vf)
+    return out.reshape(B, H, nb * block, Dh)[:, :, :L], lse
+
+
+def _flash_bwd_impl(q, k, v, mask, out, lse, do, window: int, interpret: bool):
+    B, H, L, Dh = q.shape
+    half = window // 2
+    block, nb, pad = _flash_geometry(L, half)
+    lengths = jnp.repeat(jnp.sum(mask.astype(jnp.int32), axis=1), H)
+
+    qf = _flash_prep(q, pad, B, H, nb, block, Dh)
+    kf = _flash_prep(k, pad, B, H, nb, block, Dh)
+    vf = _flash_prep(v, pad, B, H, nb, block, Dh)
+    dof = _flash_prep(do, pad, B, H, nb, block, Dh)
+    # D_i = rowsum(dO * O): one cheap fused elementwise pass in XLA
+    dd = jnp.pad(jnp.sum(do * out, axis=-1), ((0, 0), (0, 0), (0, pad)))
+    dd = dd.reshape(B * H, nb * block, 1).astype(jnp.float32)
+
+    def idx(fn):
+        return lambda i, j, lens: (i, fn(j), 0)
+
+    prev = lambda j: jnp.maximum(j - 1, 0)
+    self_ = lambda j: j
+    nxt = lambda j: jnp.minimum(j + 1, nb - 1)
+    blk = lambda fn: pl.BlockSpec((1, block, Dh), idx(fn))
+    stat = lambda fn: pl.BlockSpec((1, block, 1), idx(fn))
+    scale = 1.0 / math.sqrt(Dh)
+
+    dq_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B * H, nb),
+        in_specs=[blk(self_), blk(prev), blk(self_), blk(nxt),
+                  blk(prev), blk(self_), blk(nxt),
+                  blk(self_), stat(self_), stat(self_)],
+        out_specs=blk(self_),
+    )
+    dq = pl.pallas_call(
+        functools.partial(_flash_dq_kernel, half=half, block=block, scale=scale),
+        grid_spec=dq_spec,
+        out_shape=jax.ShapeDtypeStruct((B * H, nb * block, Dh), q.dtype),
+        interpret=interpret,
+    )(lengths, qf, kf, kf, kf, vf, vf, vf, dof, lse, dd)
+
+    dkv_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B * H, nb),
+        in_specs=[blk(self_), blk(self_),
+                  blk(prev), blk(self_), blk(nxt),
+                  blk(prev), blk(self_), blk(nxt),
+                  stat(prev), stat(self_), stat(nxt),
+                  stat(prev), stat(self_), stat(nxt)],
+        out_specs=[blk(self_), blk(self_)],
+    )
+    dk, dv = pl.pallas_call(
+        functools.partial(_flash_dkv_kernel, half=half, block=block, scale=scale),
+        grid_spec=dkv_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((B * H, nb * block, Dh), k.dtype),
+            jax.ShapeDtypeStruct((B * H, nb * block, Dh), v.dtype),
+        ],
+        interpret=interpret,
+    )(lengths, kf, vf, qf, qf, qf, dof, dof, dof, lse, lse, lse, dd, dd, dd)
+
+    unflat = lambda x: x.reshape(B, H, nb * block, Dh)[:, :, :L]
+    return unflat(dq), unflat(dk), unflat(dv)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def flash_local_attention(q, k, v, mask, window: int, interpret: bool = False):
+    """Streaming-softmax sliding-window attention with a fused Pallas
+    backward. q,k,v: [B, H, L, Dh]; mask: [B, L] PREFIX mask (1=valid);
+    window = total span, even. Scaled scores, no bias support — the
+    Longformer-family configuration (the LongT5 bias/unscaled path stays on
+    the XLA kernel)."""
+    out, _ = _flash_fwd_impl(q, k, v, mask, window, interpret)
+    return out
+
+
+def _flash_vjp_fwd(q, k, v, mask, window, interpret):
+    out, lse = _flash_fwd_impl(q, k, v, mask, window, interpret)
+    return out, (q, k, v, mask, out, lse)
+
+
+def _flash_vjp_bwd(window, interpret, res, do):
+    q, k, v, mask, out, lse = res
+    dq, dk, dv = _flash_bwd_impl(q, k, v, mask, out, lse, do, window, interpret)
+    return dq, dk, dv, jnp.zeros_like(mask)
+
+
+flash_local_attention.defvjp(_flash_vjp_fwd, _flash_vjp_bwd)

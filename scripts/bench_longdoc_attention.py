@@ -1,0 +1,73 @@
+#!/usr/bin/env python
+"""A/B the flagship long-document transformer train step: XLA banded
+attention vs the flash (streaming-softmax) Pallas fwd+bwd pair.
+
+Flagship config (docs/PERFORMANCE.md): batch 10 x 3600 units, D=768,
+d_ff=256, 2 layers, 8 heads, pyramidal windows [240, 120], per-layer
+rematerialization, focal loss, Adam. Harness: queue 20 steps, fence on a
+SCALAR device->host transfer (per-call syncs measure the ~30 ms axon
+tunnel, not the chip).
+
+Usage: python scripts/bench_longdoc_attention.py [xla|flash|both]
+"""
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def measure(mode: str):
+    os.environ["MTS_FLASH_ATTENTION"] = "1" if mode == "flash" else "0"
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from multimodaltopicsegmentation_tpu.models.base import TaggerConfig
+    from multimodaltopicsegmentation_tpu.models.registry import build
+    from multimodaltopicsegmentation_tpu.train.loop import make_optimizer
+
+    B, L, D = 10, 3600, 768
+    cfg = TaggerConfig(
+        embedding_dim=D, hidden_dim=256, num_layers=2, nheads=8,
+        attention_window=120, loss_fn="FocalLoss",
+    )
+    arch = build("Transformer", cfg)
+    params = arch.init(jax.random.PRNGKey(0))
+    tx = make_optimizer("Adam", 1e-3)
+    state = tx.init(params)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((B, L, D)), jnp.float32)
+    tags = jnp.asarray((rng.random((B, L)) < 0.05).astype(np.float32))
+    lengths = jnp.asarray(np.full((B,), L, np.int32))
+
+    def step(params, state, x, lengths, tags, rng):
+        loss, g = jax.value_and_grad(
+            lambda p: arch.loss(p, x, lengths, tags, rng=rng)
+        )(params)
+        u, state = tx.update(g, state, params)
+        return optax.apply_updates(params, u), state, loss
+
+    js = jax.jit(step, donate_argnums=(0, 1))
+    key = jax.random.PRNGKey(1)
+    params, state, loss = js(params, state, x, lengths, tags, key)
+    print(f"[{mode}] compiled; loss={float(loss):.5f}", file=sys.stderr)
+    best = float("inf")
+    for trial in range(3):
+        t0 = time.time()
+        for _ in range(20):
+            params, state, loss = js(params, state, x, lengths, tags, key)
+        float(loss)  # scalar fence
+        dt = (time.time() - t0) / 20
+        best = min(best, dt)
+        print(f"[{mode}] trial {trial}: {dt * 1e3:.2f} ms/step", file=sys.stderr)
+    print(f"{mode}: {best * 1e3:.2f} ms/step (best of 3 trials of 20)")
+    return best
+
+
+if __name__ == "__main__":
+    which = sys.argv[1] if len(sys.argv) > 1 else "both"
+    if which in ("xla", "both"):
+        measure("xla")
+    if which in ("flash", "both"):
+        measure("flash")

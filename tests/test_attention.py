@@ -87,3 +87,59 @@ def test_heads_roundtrip():
     h = A.split_heads(x, 3)
     assert h.shape == (2, 3, 9, 4)
     np.testing.assert_allclose(np.asarray(A.merge_heads(h)), np.asarray(x))
+
+
+@pytest.mark.parametrize("window,L", [(4, 16), (8, 37), (6, 7)])
+def test_flash_forward_matches_dense_interpret(window, L):
+    from multimodaltopicsegmentation_tpu.ops.pallas_attention import (
+        flash_local_attention,
+    )
+
+    q, k, v = _rand_qkv(2, L=L)
+    B = q.shape[0]
+    lengths = np.array([L, max(L - 3, 1)])
+    mask = jnp.asarray((np.arange(L)[None, :] < lengths[:, None]).astype(np.float32))
+    ref = dense_banded_reference(q, k, v, window, mask)
+    out = flash_local_attention(q, k, v, mask, window, True)
+    for b in range(B):
+        np.testing.assert_allclose(
+            np.asarray(out)[b, :, : lengths[b]],
+            np.asarray(ref)[b, :, : lengths[b]],
+            atol=1e-5,
+        )
+
+
+@pytest.mark.parametrize("window,L", [(4, 16), (8, 37)])
+def test_flash_grads_match_xla_path(window, L):
+    """The custom backward pair must reproduce XLA autodiff of the blocked
+    path exactly (through a length-masked loss, as every library loss is)."""
+    from multimodaltopicsegmentation_tpu.ops.pallas_attention import (
+        flash_local_attention,
+    )
+
+    q, k, v = _rand_qkv(3, L=L)
+    lengths = np.array([L, max(L - 5, 1)])
+    mask = jnp.asarray((np.arange(L)[None, :] < lengths[:, None]).astype(np.float32))
+    m4 = mask[:, None, :, None]
+
+    def loss_xla(q, k, v):
+        o = A.local_attention(q, k, v, window, mask, use_pallas=False)
+        return jnp.sum(jnp.sin(o) * m4)
+
+    def loss_flash(q, k, v):
+        o = flash_local_attention(q, k, v, mask, window, True)
+        return jnp.sum(jnp.sin(o) * m4)
+
+    g_ref = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    g_got = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g_ref, g_got):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=2e-5)
+
+
+def test_flash_dispatch_rejects_bias():
+    q, k, v = _rand_qkv(4, L=16)
+    with pytest.raises(AssertionError, match="bias-free"):
+        A.local_attention(
+            q, k, v, 8, bias_fn=lambda rel: jnp.zeros((2,) + rel.shape),
+            use_pallas="flash",
+        )
