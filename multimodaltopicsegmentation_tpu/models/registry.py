@@ -30,7 +30,11 @@ def build(architecture: str, cfg: TaggerConfig):
         from . import transformers as tr
 
         if architecture == "Transformer":
-            return tr.TransformerSegmenter(cfg)
+            # attention_window=0 encodes the dense restricted=False variant
+            # (reference Transformer_segmenter restricted flag, models/CRF.py:510
+            # — unreachable from TextSegmenter but convertible checkpoints
+            # carry it via tools/convert_reference_checkpoint.py)
+            return tr.TransformerSegmenter(cfg, restricted=cfg.attention_window > 0)
         if architecture == "Transformer-CRF":
             return tr.TransformerCRF(cfg)
         if architecture == "RecurrentLongT5":

@@ -10,9 +10,16 @@ torch checkpoints whose `state_dict` carries keys like
     model.classification.{weight,bias}       (sigmoid / softmax heads)
     model.crf.fc.{weight,bias}, model.crf.transitions
 
-This tool maps them onto the framework's pytrees (models/taggers.py) so a
-user holding reference-trained weights can decode with cli/predict.py and
-get identical boundaries.
+and, for the transformer family, the HF-model weights the reference wraps:
+
+    model.model.model.*                      (Transformer_segmenter ->
+                                              LongformerModel / BertModel)
+    model.model.{i}.lstm.rnn.* / .transformer.model.*  (RecurrentLongT5 ->
+                                              HF LongT5EncoderModel blocks)
+
+This tool maps them onto the framework's pytrees (models/taggers.py,
+models/transformers.py) so a user holding reference-trained weights can
+decode with cli/predict.py and get identical boundaries.
 
 The reference's own loader guesses the loss head by trying BinaryCrossEntropy
 and falling back to CrossEntropy on KeyError (/root/reference/predict.py:227-256,
@@ -31,6 +38,22 @@ from __future__ import annotations
 
 import argparse
 import re
+import sys
+
+
+class _TrackedDict(dict):
+    """state_dict wrapper recording which keys a conversion actually read, so
+    unconsumed tensors (e.g. domain_learning=True `domain_classification.*`
+    heads) are reported instead of silently dropped — the converted params
+    would otherwise look like a complete round-trip when they are not."""
+
+    def __init__(self, *a, **k):
+        super().__init__(*a, **k)
+        self.consumed = set()
+
+    def __getitem__(self, key):
+        self.consumed.add(key)
+        return super().__getitem__(key)
 
 
 def _to_np(t):
@@ -52,7 +75,16 @@ def _strip_prefix(state_dict: dict) -> dict:
 
 
 def infer_architecture(sd: dict) -> str:
+    if any(".LocalSelfAttention." in k for k in sd):
+        return "RecurrentLongT5"  # HF LongT5EncoderModel blocks (CRF.py:613-762)
+    if any(k.startswith("model.model.encoder.layer.") for k in sd):
+        # Transformer_segmenter wraps an HF LongformerModel (restricted=True,
+        # the only reachable configuration: TextSegmenter never passes
+        # `restricted`, lightning_model.py:212) or a BertModel
+        return "Transformer"
     if any(k.startswith("crf.") for k in sd):
+        if any(k.startswith("model.transformer_encoder.") for k in sd):
+            return "Transformer-CRF"
         return "biLSTMCRF"
     if any(k.startswith("model1.") for k in sd):
         return "BiLSTMLateFusion"
@@ -114,11 +146,30 @@ def _linear(sd: dict, prefix: str) -> dict:
 
 
 def convert_state_dict(state_dict: dict, architecture: str = None):
-    """-> (params, TaggerConfig, architecture_name)."""
-    from multimodaltopicsegmentation_tpu.models.base import TaggerConfig
+    """-> (params, TaggerConfig, architecture_name).
 
-    sd = _strip_prefix(state_dict)
+    Warns (stderr) when state_dict tensors are left unconsumed by the
+    conversion — e.g. the `domain_classification.*` heads a
+    domain_learning=True SwitchBiLSTM checkpoint carries, or SheikhBiLSTM's
+    vestigial `classification` head. Decode is unaffected, but the converted
+    params are then not a complete round-trip of the source.
+    """
+    sd = _TrackedDict(_strip_prefix(state_dict))
     architecture = architecture or infer_architecture(sd)
+    out = _convert_state_dict(sd, architecture)
+    leftover = sorted(set(sd) - sd.consumed)
+    if leftover:
+        print(
+            f"[convert_reference_checkpoint] warning: {len(leftover)} state_dict "
+            f"tensor(s) not used by the {out[2]} conversion (decode is "
+            f"unaffected): {', '.join(leftover)}",
+            file=sys.stderr,
+        )
+    return out
+
+
+def _convert_state_dict(sd: dict, architecture: str):
+    from multimodaltopicsegmentation_tpu.models.base import TaggerConfig
 
     if architecture == "SimpleBiLSTM":
         # reference SimpleBiLSTM holds the nn.LSTM directly as `.lstm` and
@@ -255,11 +306,174 @@ def convert_state_dict(state_dict: dict, architecture: str = None):
         }
         return params, cfg, "SwitchBiLSTM"
 
+    if architecture == "Transformer":
+        return _convert_transformer_segmenter(sd)
+
+    if architecture == "RecurrentLongT5":
+        return _convert_recurrent_longt5(sd)
+
+    if architecture in ("Transformer-CRF", "TransformerCRF"):
+        raise ValueError(
+            "the reference's TransformerCRF cannot produce checkpoints: its "
+            "constructor passes batch_first/device/positional_encoding kwargs "
+            "that NeuralArchitectures.Transformer.__init__ does not accept "
+            "(TypeError at /root/reference/models/CRF.py:491 vs "
+            "NeuralArchitectures.py:205), so no trained state_dict exists to "
+            "convert"
+        )
+
+    if architecture in ("BiLSTMRestrictedMHA", "RecurrentLongformer"):
+        raise ValueError(
+            "RecurrentLongformer checkpoints depend on the reference's "
+            "pyc-only models/longformer_noffn module (Python 3.8/3.10 "
+            "bytecode; unloadable here) — its LongformerLayer state_dict "
+            "layout is not oracle-verifiable, so conversion is not offered"
+        )
+
     raise ValueError(
         f"no conversion rule for architecture {architecture!r}; supported: "
         "BiLSTM, BiLSTMLateFusion, biLSTMCRF, SimpleBiLSTM, MLP, "
-        "SheikhBiLSTM, SwitchBiLSTM"
+        "SheikhBiLSTM, SwitchBiLSTM, Transformer, RecurrentLongT5"
     )
+
+
+def _convert_transformer_segmenter(sd: dict):
+    """Transformer_segmenter (models/CRF.py:508-610): `model.model` is a real
+    HF LongformerModel (restricted=True — the only configuration TextSegmenter
+    can build, lightning_model.py:212) or BertModel (restricted=False), plus a
+    `classification` head. The HF-weight mapping mirrors the oracle transplant
+    proven boundary-identical in tests/test_reference_oracle.py:439-533: with
+    inputs_embeds, HF adds position_embeddings (Longformer ids offset by
+    padding_idx+1 = 2; Bert ids start at 0) and the constant
+    token_type_embeddings[0] before the embedding LayerNorm; both fold into
+    the framework's single positional table. nheads / attention_window are
+    NOT recoverable from tensor shapes — TextSegmenter never saves
+    hyperparameters, the reference re-supplies them at load time
+    (predict.py:228-241) — so the reference CLI defaults (8 / 120,
+    lightning_model.py:183-184) are assumed; pass --nheads/--attention_window
+    to override."""
+    from multimodaltopicsegmentation_tpu.models.base import TaggerConfig
+
+    m = "model.model"
+    longformer = any(".attention.self.query_global." in k for k in sd)
+    tok0 = _to_np(sd[f"{m}.embeddings.token_type_embeddings.weight"])[0]
+    pos = _to_np(sd[f"{m}.embeddings.position_embeddings.weight"])
+    if longformer:
+        pos = pos[2:]  # Longformer position ids start at padding_idx+1 = 2
+    enc = {
+        "pos": pos + tok0,
+        "ln_emb": {
+            "scale": _to_np(sd[f"{m}.embeddings.LayerNorm.weight"]),
+            "bias": _to_np(sd[f"{m}.embeddings.LayerNorm.bias"]),
+        },
+        "layers": [],
+    }
+
+    def ln(prefix):
+        return {
+            "scale": _to_np(sd[f"{prefix}.weight"]),
+            "bias": _to_np(sd[f"{prefix}.bias"]),
+        }
+
+    i = 0
+    while f"{m}.encoder.layer.{i}.attention.self.query.weight" in sd:
+        p = f"{m}.encoder.layer.{i}"
+        enc["layers"].append({
+            "attn": {
+                "q": _linear(sd, f"{p}.attention.self.query"),
+                "k": _linear(sd, f"{p}.attention.self.key"),
+                "v": _linear(sd, f"{p}.attention.self.value"),
+                "o": _linear(sd, f"{p}.attention.output.dense"),
+            },
+            "ln1": ln(f"{p}.attention.output.LayerNorm"),
+            "ff1": _linear(sd, f"{p}.intermediate.dense"),
+            "ff2": _linear(sd, f"{p}.output.dense"),
+            "ln2": ln(f"{p}.output.LayerNorm"),
+        })
+        i += 1
+    cls = _linear(sd, "classification")
+    out = cls["w"].shape[1]
+    d_model = cls["w"].shape[0]
+    d_ff = enc["layers"][0]["ff1"]["w"].shape[1]
+    cfg = TaggerConfig(
+        embedding_dim=d_model, hidden_dim=d_ff, num_layers=i,
+        tagset_size=max(out, 2),
+        # attention_window=0 encodes the dense (restricted=False BertModel)
+        # variant; the registry builds TransformerSegmenter(restricted=False)
+        attention_window=120 if longformer else 0,
+        loss_fn="CrossEntropy" if out > 1 else "BinaryCrossEntropy",
+    )
+    return {"encoder": enc, "cls": cls}, cfg, "Transformer"
+
+
+def _convert_recurrent_longt5(sd: dict):
+    """RecurrentLongT5 (models/CRF.py:613-762): a ModuleList of
+    [RNN-wrapped BiLSTM -> HF LongT5EncoderModel] blocks + classification.
+    Mirrors the oracle transplant (tests/test_reference_oracle.py:579-611):
+    T5 linears carry no biases, every layer shares block-0's
+    relative_attention_bias, and RMSNorms have scale only. nheads and the
+    local radius ARE recoverable here: the shared relative_attention_bias
+    table is [num_buckets, nheads] with num_buckets = max(4, radius)
+    (RestrictedTransformerLayer.py:155-156; `radius+1//4` == radius)."""
+    from multimodaltopicsegmentation_tpu.models.base import TaggerConfig
+
+    blocks = []
+    i = 0
+    while f"model.{i}.lstm.rnn.weight_ih_l0" in sd:
+        b = f"model.{i}"
+        stack = _convert_rnn_stack(sd, f"{b}.lstm.rnn", 1, True, True)
+
+        def nob(name):
+            import numpy as np
+
+            # T5 linears carry no biases; the framework's shared linear() does
+            w = _to_np(sd[name + ".weight"]).T
+            return {"w": w, "b": np.zeros((w.shape[1],), w.dtype)}
+
+        t = f"{b}.transformer.model.encoder"
+        layers = []
+        j = 0
+        while f"{t}.block.{j}.layer.0.LocalSelfAttention.q.weight" in sd:
+            p = f"{t}.block.{j}"
+            layers.append({
+                "attn": {
+                    "q": nob(f"{p}.layer.0.LocalSelfAttention.q"),
+                    "k": nob(f"{p}.layer.0.LocalSelfAttention.k"),
+                    "v": nob(f"{p}.layer.0.LocalSelfAttention.v"),
+                    "o": nob(f"{p}.layer.0.LocalSelfAttention.o"),
+                },
+                "ln1": {"scale": _to_np(sd[f"{p}.layer.0.layer_norm.weight"])},
+                "wi": nob(f"{p}.layer.1.DenseReluDense.wi"),
+                "wo": nob(f"{p}.layer.1.DenseReluDense.wo"),
+                "ln2": {"scale": _to_np(sd[f"{p}.layer.1.layer_norm.weight"])},
+            })
+            j += 1
+        rel = _to_np(
+            sd[f"{t}.block.0.layer.0.LocalSelfAttention.relative_attention_bias.weight"]
+        )
+        blocks.append({
+            "lstm": stack[0],
+            "t5": {
+                "layers": layers,
+                "rel_bias": rel,
+                "ln_final": {"scale": _to_np(sd[f"{t}.final_layer_norm.weight"])},
+            },
+        })
+        i += 1
+
+    _, hidden, in_dim, _, _ = _rnn_geometry(sd, "model.0.lstm.rnn")
+    cls = _linear(sd, "classification")
+    out = cls["w"].shape[1]
+    num_buckets, nheads = rel.shape
+    cfg = TaggerConfig(
+        embedding_dim=in_dim, hidden_dim=hidden, num_layers=i,
+        tagset_size=max(out, 2), nheads=nheads,
+        # radius < 4 is not distinguishable from radius == num_buckets == 4;
+        # reference configs use radius >= 4 (default 127, CRF.py:618)
+        attention_window=num_buckets,
+        loss_fn="CrossEntropy" if out > 1 else "BinaryCrossEntropy",
+    )
+    return {"blocks": blocks, "cls": cls}, cfg, "RecurrentLongT5"
 
 
 def load_torch_checkpoint(path: str, architecture: str = None):
@@ -269,16 +483,30 @@ def load_torch_checkpoint(path: str, architecture: str = None):
     payload = torch.load(path, map_location="cpu", weights_only=False)
     state_dict = payload.get("state_dict", payload) if isinstance(payload, dict) else payload
     if not isinstance(state_dict, dict) or not any(
-        re.search(r"weight_ih_l0", k) for k in state_dict
+        re.search(r"weight_ih_l0|encoder\.(layer|block)\.0\.", k)
+        for k in state_dict
     ):
         raise ValueError(f"{path!r} does not look like a TextSegmenter checkpoint")
     return convert_state_dict(state_dict, architecture)
 
 
-def convert_checkpoint(in_path: str, out_path: str, architecture: str = None):
+def convert_checkpoint(in_path: str, out_path: str, architecture: str = None,
+                       nheads: int = None, attention_window: int = None):
+    import dataclasses
+
     from multimodaltopicsegmentation_tpu.train import checkpoints as ckpt_lib
 
     params, cfg, arch = load_torch_checkpoint(in_path, architecture)
+    # Transformer checkpoints do not record nheads/attention_window (the
+    # reference re-supplies them at load time); let the user override the
+    # assumed CLI defaults
+    overrides = {}
+    if nheads is not None:
+        overrides["nheads"] = nheads
+    if attention_window is not None:
+        overrides["attention_window"] = attention_window
+    if overrides:
+        cfg = dataclasses.replace(cfg, **overrides)
     ckpt_lib.save(out_path, params, cfg, arch, extra={"converted_from": in_path})
     return params, cfg, arch
 
@@ -289,8 +517,16 @@ def main(argv=None):
     ap.add_argument("output", help="framework checkpoint to write")
     ap.add_argument("--architecture", default=None,
                     help="override the architecture inferred from the keys")
+    ap.add_argument("--nheads", type=int, default=None,
+                    help="attention heads for Transformer checkpoints (not "
+                         "recorded in the state_dict; reference default 8)")
+    ap.add_argument("--attention_window", type=int, default=None,
+                    help="base attention window for Transformer checkpoints "
+                         "(not recorded in the state_dict; reference default "
+                         "120)")
     args = ap.parse_args(argv)
-    _, cfg, arch = convert_checkpoint(args.input, args.output, args.architecture)
+    _, cfg, arch = convert_checkpoint(args.input, args.output, args.architecture,
+                                      args.nheads, args.attention_window)
     print(f"converted {args.input} -> {args.output} ({arch}, "
           f"D={cfg.embedding_dim}, H={cfg.hidden_dim}, layers={cfg.num_layers}, "
           f"loss={cfg.loss_fn})")

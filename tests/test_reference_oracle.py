@@ -722,3 +722,239 @@ def test_longformer_self_attention_core_oracle(rng):
 
     for b, Lb in enumerate(lengths):
         np.testing.assert_allclose(got[b, :Lb], want[b, :Lb], atol=2e-5)
+
+
+# ---------------------------------------------------------------------------
+# transformer-family checkpoint conversion through the PRODUCTION converter
+# (round-4: the oracle transplants above prove the HF weight layouts; these
+# prove tools/convert_reference_checkpoint.py maps the same state_dicts)
+# ---------------------------------------------------------------------------
+
+
+def test_converter_transformer_segmenter_checkpoint(ref, rng, capsys):
+    torch.manual_seed(21)
+    D, FF, layers, heads, win = 16, 48, 2, 2, 4
+    tm = ref.CRF.Transformer_segmenter(
+        2, D, FF, num_layers=layers, nheads=heads, dropout_in=0.0,
+        loss_fn="FocalLoss", restricted=True, window_size=win,
+    ).eval()
+    tm.device = "cpu"
+
+    params, cfg, arch = transplant(tm)
+    assert arch == "Transformer"
+    assert (cfg.embedding_dim, cfg.hidden_dim, cfg.num_layers) == (D, FF, layers)
+    assert cfg.loss_fn == "BinaryCrossEntropy"  # sigmoid head, decode-equal
+    # heads/window are not recorded in a TextSegmenter checkpoint (the
+    # reference re-supplies them at load time); override the assumed defaults
+    cfg = dataclasses.replace(cfg, nheads=heads, attention_window=win)
+    model = build("Transformer", cfg)
+    # the HF global-attention projections are unconsumed and must be reported
+    assert "query_global" in capsys.readouterr().err
+
+    x, lengths, tags = batch(rng, D=D)
+    with torch.no_grad():
+        scores_t, ref_tags = tm(torch.from_numpy(x), torch.from_numpy(lengths), 0.4)
+    scores_j, tags_j = model.decode(params, jnp.asarray(x), jnp.asarray(lengths), 0.4)
+    for b, Lb in enumerate(lengths):
+        np.testing.assert_allclose(
+            np.asarray(scores_j)[b, :Lb], scores_t.numpy()[b, :Lb], atol=2e-4
+        )
+    assert_boundaries_identical(tags_j, ref_tags, lengths)
+
+
+def test_converter_transformer_dense_checkpoint(ref, rng):
+    """restricted=False (BertModel) converts with attention_window=0, which
+    the registry builds as the dense TransformerSegmenter."""
+    torch.manual_seed(22)
+    D, FF, layers, heads = 16, 48, 2, 2
+    tm = ref.CRF.Transformer_segmenter(
+        2, D, FF, num_layers=layers, nheads=heads, dropout_in=0.0,
+        loss_fn="FocalLoss", restricted=False,
+    ).eval()
+    tm.device = "cpu"
+
+    params, cfg, arch = transplant(tm)
+    assert arch == "Transformer" and cfg.attention_window == 0
+    cfg = dataclasses.replace(cfg, nheads=heads)
+    model = build("Transformer", cfg)
+    assert model.encoder.windows is None  # dense
+
+    x, lengths, _tags = batch(rng, D=D)
+    with torch.no_grad():
+        scores_t, ref_tags = tm(torch.from_numpy(x), torch.from_numpy(lengths), 0.4)
+    scores_j, tags_j = model.decode(params, jnp.asarray(x), jnp.asarray(lengths), 0.4)
+    for b, Lb in enumerate(lengths):
+        np.testing.assert_allclose(
+            np.asarray(scores_j)[b, :Lb], scores_t.numpy()[b, :Lb], atol=2e-4
+        )
+    assert_boundaries_identical(tags_j, ref_tags, lengths)
+
+
+def test_converter_recurrent_longt5_checkpoint(ref, rng):
+    """nheads and the local radius ARE inferable here, from the shared
+    relative_attention_bias table ([num_buckets, nheads], num_buckets =
+    max(4, radius))."""
+    torch.manual_seed(23)
+    D, H, layers, heads, radius = 16, 8, 2, 2, 5
+    tm = ref.CRF.RecurrentLongT5(
+        2, D, H, num_layers=layers, nheads=heads, dropout_in=0.0,
+        loss_fn="FocalLoss", window_size=radius,
+    ).eval()
+
+    params, cfg, arch = transplant(tm)
+    assert arch == "RecurrentLongT5"
+    assert (cfg.embedding_dim, cfg.hidden_dim, cfg.num_layers) == (D, H, layers)
+    assert cfg.nheads == heads and cfg.attention_window == radius
+    model = build("RecurrentLongT5", cfg)
+
+    x, lengths, _tags = batch(rng, D=D)
+    with torch.no_grad():
+        scores_t, ref_tags = tm(torch.from_numpy(x), torch.from_numpy(lengths), 0.4)
+    scores_j, tags_j = model.decode(params, jnp.asarray(x), jnp.asarray(lengths), 0.4)
+    for b, Lb in enumerate(lengths):
+        np.testing.assert_allclose(
+            np.asarray(scores_j)[b, :Lb], scores_t.numpy()[b, :Lb], atol=2e-4
+        )
+    assert_boundaries_identical(tags_j, ref_tags, lengths)
+
+
+def test_converter_rejects_impossible_architectures():
+    with pytest.raises(ValueError, match="cannot produce checkpoints"):
+        convert_state_dict({}, "Transformer-CRF")
+    with pytest.raises(ValueError, match="pyc-only"):
+        convert_state_dict({}, "BiLSTMRestrictedMHA")
+
+
+def test_predict_cli_loads_converted_transformer_checkpoint(ref, rng, tmp_path):
+    """End to end: reference Transformer_segmenter torch checkpoint ->
+    tools/convert_reference_checkpoint.py (with the explicit --nheads /
+    --attention_window the reference itself re-supplies at load time) ->
+    cli/predict.py produces the torch model's exact boundaries."""
+    import os
+    import pickle
+
+    torch.manual_seed(24)
+    D, FF, layers, heads, win = 16, 48, 1, 2, 4
+    tm = ref.CRF.Transformer_segmenter(
+        2, D, FF, num_layers=layers, nheads=heads, dropout_in=0.0,
+        loss_fn="FocalLoss", restricted=True, window_size=win,
+    ).eval()
+    tm.device = "cpu"
+
+    raw = str(tmp_path / "ref.ckpt")
+    torch.save({"state_dict": {f"model.{k}": v for k, v in tm.state_dict().items()}}, raw)
+
+    from multimodaltopicsegmentation_tpu.tools.convert_reference_checkpoint import (
+        convert_checkpoint,
+    )
+
+    conv = str(tmp_path / "best_model")
+    _, cfg, arch = convert_checkpoint(raw, conv, nheads=heads, attention_window=win)
+    assert arch == "Transformer" and cfg.nheads == heads and cfg.attention_window == win
+
+    from tests.synth import make_synthetic_corpus
+
+    emb_dir, _lab, _split = make_synthetic_corpus(str(tmp_path / "c"), n_docs=4, dim=D)
+
+    results_txt = tmp_path / "results.txt"
+    results_txt.write_text(
+        "Sentence encoder: CNN\nNeural architecture: Transformer\n"
+        f"Hidden units: {FF}\nNumber of layers: {layers}\n"
+    )
+    import multimodaltopicsegmentation_tpu.cli.predict as P
+
+    if ("CNN", D) not in P.ENCODER_DIMS:
+        P.ENCODER_DIMS.append(("CNN", D))
+
+    pred = P.Predictor(str(results_txt), conv, threshold=0.4)
+    exp = str(tmp_path / "pexp")
+    results = pred.predict(emb_dir, exp, write_audio_segments=False, batch_size=2)
+    assert len(results) == 4
+
+    with open(os.path.join(exp, "results.pkl"), "rb") as f:
+        res = pickle.load(f)
+    for name, tags in res.items():
+        emb = np.load(os.path.join(emb_dir, name)).astype(np.float32)
+        with torch.no_grad():
+            _s, want = tm(torch.from_numpy(emb[None]), torch.tensor([len(emb)]), 0.4)
+        assert [int(t) for t in np.asarray(tags, bool)] == [int(v) for v in want[0]]
+
+
+def test_longformer_external_kv_block_oracle(rng):
+    """RecurrentLongformer's external_input trick (models/CRF.py:673-679):
+    the fwd-LSTM half queries the bwd-LSTM half's keys/values inside a
+    Longformer sliding-chunks attention. The vendored longformer_noffn module
+    ships only as 3.8/3.10 bytecode (unloadable on this image's 3.12), but
+    HF's own LongformerSelfAttention IS importable — here its key/value
+    projections are redirected to the external stream so HF's full forward
+    (sliding-chunks matmuls, diagonal masking, padding plumbing) runs the
+    external-KV semantics, and the framework's local_attention must match.
+    The only part this cannot pin down is the pyc's private glue around the
+    attention call (residual/LayerNorm placement), documented in README."""
+    import torch as t
+    from transformers import LongformerConfig
+    from transformers.models.longformer.modeling_longformer import (
+        LongformerSelfAttention,
+    )
+
+    from multimodaltopicsegmentation_tpu.ops.attention import (
+        local_attention,
+        merge_heads,
+        split_heads,
+    )
+
+    t.manual_seed(15)
+    D, heads, window = 16, 2, 4
+    c = LongformerConfig()
+    c.hidden_size, c.num_attention_heads = D, heads
+    c.attention_window, c.num_hidden_layers = [window], 1
+    hf = LongformerSelfAttention(c, layer_id=0).eval()
+
+    B, L = 2, 16
+    h_for = rng.standard_normal((B, L, D)).astype(np.float32)
+    h_bac = rng.standard_normal((B, L, D)).astype(np.float32)
+    lengths = np.array([16, 12])
+    am = np.zeros((B, L), np.float32)
+    am[1, 12:] = -10000.0
+
+    class _FromExternal(torch.nn.Module):
+        """Projection that ignores its input and projects the external
+        stream — exactly `key/value(external_input)` with HF's own weights.
+        HF transposes hidden_states to [seq, batch, dim] before projecting
+        (modeling_longformer LongformerSelfAttention.forward line 1), so the
+        external stream gets the same layout."""
+
+        def __init__(self, lin, src):
+            super().__init__()
+            self.lin = lin
+            self.src = src.transpose(0, 1)
+
+        def forward(self, _x):
+            return self.lin(self.src)
+
+    ext = torch.from_numpy(h_bac)
+    hf.key = _FromExternal(hf.key, ext)
+    hf.value = _FromExternal(hf.value, ext)
+
+    with torch.no_grad():
+        want = hf(
+            torch.from_numpy(h_for),
+            attention_mask=torch.from_numpy(am),
+            layer_head_mask=None,
+            is_index_masked=torch.from_numpy(am) < 0,
+            is_index_global_attn=torch.from_numpy(am) > 0,
+            is_global_attn=False,
+        )[0].numpy()
+
+    sd = {k: v for k, v in hf.state_dict().items()}
+    proj = lambda x, p: x @ jnp.asarray(sd[f"{p}.weight"].numpy().T) + jnp.asarray(
+        sd[f"{p}.bias"].numpy()
+    )
+    q = split_heads(proj(jnp.asarray(h_for), "query"), heads)
+    k = split_heads(proj(jnp.asarray(h_bac), "key.lin"), heads)
+    v = split_heads(proj(jnp.asarray(h_bac), "value.lin"), heads)
+    mask = jnp.asarray((np.arange(L)[None] < lengths[:, None]).astype(np.float32))
+    got = np.asarray(merge_heads(local_attention(q, k, v, window, mask)))
+
+    for b, Lb in enumerate(lengths):
+        np.testing.assert_allclose(got[b, :Lb], want[b, :Lb], atol=2e-5)
