@@ -7,10 +7,18 @@ after abandoning a per-position Python loop for being too slow
 
 TPU design: the 3-block banded scheme — queries chunked into blocks of
 `w/2`; each query block attends keys/values of its own + adjacent blocks,
-masked to |i-j| <= w/2. Everything is batched matmuls on the MXU with a
-static band mask; XLA fuses the softmax. A fused Pallas kernel for the same
-computation lives in pallas_attention.py; `local_attention` dispatches to it
-on TPU when shapes allow.
+masked to |i-j| <= w/2. Two implementations:
+
+- XLA blocked path (below): batched matmuls on the MXU with a static band
+  mask; XLA fuses the softmax. Used on CPU, for biased/unscaled (T5-family)
+  attention, and under MTS_FLASH_ATTENTION=0.
+- flash Pallas fwd+bwd pair (pallas_attention.flash_local_attention): keeps
+  every score tile in VMEM with a streaming softmax and a custom_vjp
+  backward that recomputes tiles blockwise. `use_pallas="auto"` picks it on
+  TPU for the Longformer-family configuration (scaled scores, no bias,
+  prefix masks) — measured 77.9 -> 67.8 ms on the flagship 10x3600 train
+  step at identical loss. The older forward-only kernel
+  (pallas_local_attention) remains an explicit `use_pallas=True` opt-in.
 
 Also here: T5-style relative position bucketing for the LongT5-style
 local attention (RestrictedTransformerLayer.py:147-159).
@@ -28,12 +36,13 @@ NEG_INF = -1e9
 
 
 def _flash_default() -> bool:
-    """Whether `use_pallas="auto"` may pick the flash Pallas pair on TPU.
-    Gated on MTS_FLASH_ATTENTION until the flagship A/B lands (default off ->
-    measured decision recorded in docs/PERFORMANCE.md)."""
+    """Whether `use_pallas="auto"` picks the flash Pallas pair on TPU.
+    Default ON: the flagship 10x3600 long-document train step measured
+    77.9 ms (XLA blocked path) vs 67.8 ms (flash), identical loss, best of
+    3x20-step trials (docs/PERFORMANCE.md). MTS_FLASH_ATTENTION=0 opts out."""
     import os
 
-    return os.environ.get("MTS_FLASH_ATTENTION", "0") == "1"
+    return os.environ.get("MTS_FLASH_ATTENTION", "1") == "1"
 
 
 def dense_attention(q, k, v, mask=None, bias=None):
@@ -77,14 +86,17 @@ def local_attention(
     LongT5 path passes scale=False for exact HF parity.
     Returns [B, H, L, Dh].
 
-    use_pallas: the fused Pallas kernel is an explicit INFERENCE opt-in
-    (pallas_call has no reverse-mode autodiff, and the blocked XLA path
-    measured faster at the flagship shapes under round 2's relative A/B);
-    "auto" therefore resolves to the XLA path. Round 3 rebuilt the XLA
-    path's 3-block K/V neighborhood from shifted slices instead of a
-    3x-duplicating gather: forward time is unchanged (24.2 vs 24.6 ms at
-    [2,8,3600,64] w=240, honest scalar-fenced harness) but the gather's
-    scatter-add BACKWARD cost 25% of the flagship 10x3600 train step.
+    use_pallas: "auto" (default) picks the flash streaming-softmax Pallas
+    pair on TPU when the call is Longformer-shaped (scaled, bias-free;
+    masks must be PREFIX masks — every library caller's are, from
+    length_mask) and the XLA blocked path otherwise; "flash" forces the
+    pair, False forces XLA, True forces the older forward-only fused kernel
+    (inference only: pallas_call has no reverse-mode autodiff). Measured
+    history: round 3 rebuilt the XLA path's 3-block K/V neighborhood from
+    shifted slices instead of a 3x-duplicating gather (the gather's
+    scatter-add backward cost 25% of the flagship 10x3600 train step,
+    105.6 -> 79.3 ms); round 4's flash pair cut the same step 77.9 ->
+    67.8 ms by keeping score tiles in VMEM through both directions.
     """
     assert window % 2 == 0, "attention window must be even"
     B, H, L, Dh = q.shape

@@ -16,6 +16,8 @@ import time
 
 import numpy as np
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 def measure(mode: str):
     os.environ["MTS_FLASH_ATTENTION"] = "1" if mode == "flash" else "0"
