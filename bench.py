@@ -318,6 +318,7 @@ def main():
             base["error"] = str(e)
         base["wall_s"] = time.time() - t0
 
+    t_start = time.time()
     bt = threading.Thread(target=_baseline_worker, daemon=True)
     bt.start()
 
@@ -342,7 +343,12 @@ def main():
         )
         return
 
-    bt.join()
+    # Bounded join: the headline must reach stdout even if the baseline host
+    # is contended — never hold the already-measured TPU number hostage to
+    # the torch thread. If the thread is still running, the headline goes out
+    # with vs_baseline=0.0 and the enriched second record (which re-measures
+    # the baseline) carries the ratio.
+    bt.join(timeout=max(10.0, 250.0 - (time.time() - t_start)))
     record = {
         "metric": "predict_wav2vec2_audio_min_per_sec",
         "value": round(value, 2),
@@ -354,7 +360,11 @@ def main():
         record["baseline_units"] = 20
         record["baseline_wall_s"] = round(base["wall_s"], 1)
     else:
-        _log(f"CPU baseline failed ({base.get('error')}); vs_baseline omitted")
+        _log(
+            "CPU baseline unavailable at headline time "
+            f"({base.get('error', 'still running')}); vs_baseline deferred "
+            "to the enriched record"
+        )
         record["vs_baseline"] = 0.0
 
     # MFU accounting: achieved TFLOP/s of the predict path against the
