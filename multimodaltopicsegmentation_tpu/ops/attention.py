@@ -10,14 +10,16 @@ TPU design: the 3-block banded scheme — queries chunked into blocks of
 masked to |i-j| <= w/2. Two implementations:
 
 - XLA blocked path (below): batched matmuls on the MXU with a static band
-  mask; XLA fuses the softmax. Used on CPU, for biased/unscaled (T5-family)
-  attention, and under MTS_FLASH_ATTENTION=0.
-- flash Pallas fwd+bwd pair (pallas_attention.flash_local_attention): keeps
-  every score tile in VMEM with a streaming softmax and a custom_vjp
-  backward that recomputes tiles blockwise. `use_pallas="auto"` picks it on
-  TPU for the Longformer-family configuration (scaled scores, no bias,
-  prefix masks) — measured 77.9 -> 67.8 ms on the flagship 10x3600 train
-  step at identical loss. The older forward-only kernel
+  mask; XLA fuses the softmax. Used on CPU and under MTS_FLASH_ATTENTION=0.
+- flash Pallas fwd+bwd pairs (pallas_attention.flash_local_attention and
+  .flash_local_attention_biased): keep every score tile in VMEM with a
+  streaming softmax and a custom_vjp backward that recomputes tiles
+  blockwise. `use_pallas="auto"` picks them on TPU: the unbiased pair for
+  Longformer-family calls (scaled, no bias — measured 77.9 -> 67.8 ms on
+  the flagship 10x3600 train step at identical loss) and the biased pair
+  for T5-family calls (translation-invariant relative bias, unscaled —
+  makes the 10x3600 RecurrentLongT5 step FIT, where the XLA path's 4.15 GB
+  banded score tensor crashes the worker). The older forward-only kernel
   (pallas_local_attention) remains an explicit `use_pallas=True` opt-in.
 
 Also here: T5-style relative position bucketing for the LongT5-style
@@ -86,17 +88,21 @@ def local_attention(
     LongT5 path passes scale=False for exact HF parity.
     Returns [B, H, L, Dh].
 
-    use_pallas: "auto" (default) picks the flash streaming-softmax Pallas
-    pair on TPU when the call is Longformer-shaped (scaled, bias-free;
-    masks must be PREFIX masks — every library caller's are, from
-    length_mask) and the XLA blocked path otherwise; "flash" forces the
-    pair, False forces XLA, True forces the older forward-only fused kernel
-    (inference only: pallas_call has no reverse-mode autodiff). Measured
-    history: round 3 rebuilt the XLA path's 3-block K/V neighborhood from
-    shifted slices instead of a 3x-duplicating gather (the gather's
-    scatter-add backward cost 25% of the flagship 10x3600 train step,
-    105.6 -> 79.3 ms); round 4's flash pair cut the same step 77.9 ->
-    67.8 ms by keeping score tiles in VMEM through both directions.
+    use_pallas: "auto" (default) picks a flash streaming-softmax Pallas
+    pair on TPU — the unbiased pair for Longformer-shaped calls (scaled,
+    bias-free) and the biased pair when bias_fn is given (T5 family; the
+    relative bias is translation-invariant, so one [H, block, 3*block]
+    tile serves every query block and its gradient flows back into the
+    bucket table). Masks must be PREFIX masks — every library caller's
+    are, from length_mask. "flash" forces the flash route, False forces
+    XLA, True forces the older forward-only fused kernel (inference only:
+    pallas_call has no reverse-mode autodiff). Measured history: round 3
+    rebuilt the XLA path's 3-block K/V neighborhood from shifted slices
+    instead of a 3x-duplicating gather (the gather's scatter-add backward
+    cost 25% of the flagship 10x3600 train step, 105.6 -> 79.3 ms); round
+    4's flash pairs cut the same step 77.9 -> 67.8 ms and made the
+    10x3600 RecurrentLongT5 step fit in HBM at all (XLA path: worker
+    crash; flash: 117.7 ms/step).
     """
     assert window % 2 == 0, "attention window must be even"
     B, H, L, Dh = q.shape
@@ -105,28 +111,43 @@ def local_attention(
 
     if use_pallas == "auto":
         # the flash (streaming-softmax) Pallas pair avoids materializing the
-        # [B,H,nb,block,3b] score tensor in HBM in BOTH directions; it
-        # supports exactly the Longformer-family configuration (scaled
-        # scores, no bias, prefix masks), so auto engages it there on TPU
-        use_pallas = (
-            "flash"
-            if (
-                _flash_default()
-                and bias_fn is None
-                and scale
-                and jax.devices()[0].platform == "tpu"
-            )
-            else False
-        )
+        # [B,H,nb,block,3b] score tensor in HBM in BOTH directions. On TPU,
+        # auto engages the unbiased pair for the Longformer-family
+        # configuration (scaled scores, no bias, prefix masks) and the
+        # biased pair for the T5 family (translation-invariant additive
+        # relative bias, unscaled) — both measured on the flagship configs
+        # (docs/PERFORMANCE.md).
+        on_tpu = jax.devices()[0].platform == "tpu"
+        if _flash_default() and on_tpu and bias_fn is None and scale:
+            use_pallas = "flash"
+        elif _flash_default() and on_tpu and bias_fn is not None:
+            use_pallas = "flash"
+        else:
+            use_pallas = False
     if use_pallas == "flash":
-        assert bias_fn is None and scale, (
-            "flash local attention supports scaled, bias-free scores only"
-        )
-        from .pallas_attention import flash_local_attention
-
         if mask is None:
             mask = jnp.ones((B, L), q.dtype)
-        return flash_local_attention(q, k, v, mask, window)
+        if bias_fn is None:
+            assert scale, "unbiased flash local attention is always scaled"
+            from .pallas_attention import flash_local_attention
+
+            return flash_local_attention(q, k, v, mask, window)
+        # biased pair: the T5 relative bias depends only on the offset, so
+        # one [H, block, 3*block] tile (built with the FLASH block geometry,
+        # which may differ from the XLA path's) serves every query block and
+        # stays differentiable through bias_fn into the bucket table
+        from .pallas_attention import (
+            _flash_geometry,
+            flash_local_attention_biased,
+        )
+
+        fblock = _flash_geometry(L, half)[0]
+        rel = jnp.asarray(
+            np.arange(3 * fblock)[None, :] - fblock - np.arange(fblock)[:, None]
+        )
+        return flash_local_attention_biased(
+            q, k, v, mask, bias_fn(rel), window, scale
+        )
     if use_pallas is True:
         # the fused kernel supports neither additive score biases (T5
         # relative positions) nor non-prefix masks — silently dropping

@@ -249,7 +249,14 @@ def _flash_dkv_kernel(len_ref, k_ref, v_ref, qm_ref, qs_ref, qp_ref, dom_ref,
 
 
 def _flash_geometry(L: int, half: int):
-    block = max(-(-half // 8) * 8, 8)
+    # Query-block quantum: correctness needs only block >= half (the 3-block
+    # neighborhood must cover |i-j| <= half) and sublane alignment (%8).
+    # MTS_FLASH_BLOCK_QUANT widens the rounding (e.g. 128 to lane-align the
+    # [block, 3*block] score tile) — an A/B knob, default 8.
+    import os
+
+    quant = int(os.environ.get("MTS_FLASH_BLOCK_QUANT", "8"))
+    block = max(-(-half // quant) * quant, 8)
     nb = -(-L // block)
     return block, nb, nb * block - L
 
@@ -359,6 +366,295 @@ def _flash_bwd_impl(q, k, v, mask, out, lse, do, window: int, interpret: bool):
 
     unflat = lambda x: x.reshape(B, H, nb * block, Dh)[:, :, :L]
     return unflat(dq), unflat(dk), unflat(dv)
+
+
+# ---------------------------------------------------------------------------
+# Biased flash variant (LongT5-family): same streaming-softmax scheme plus a
+# TRANSLATION-INVARIANT additive bias tile [H, block, 3*block] (T5 relative-
+# position bias depends only on the offset j-i, so one tile serves every
+# query block). The tile is an ordinary differentiable input: its gradient is
+# the banded score gradient summed over batch and query blocks, accumulated
+# in VMEM by the dq kernel over an h-major grid (H, B, nb) — consecutive
+# grid steps revisit the same head's dbias block, so the accumulation never
+# round-trips HBM. Covers the reference's LongT5 local attention
+# (/root/reference/models/RestrictedTransformerLayer.py:147-159) with
+# scale=False semantics.
+# ---------------------------------------------------------------------------
+
+
+def _flash_biased_fwd_kernel(len_ref, q_ref, km_ref, ks_ref, kp_ref, vm_ref,
+                             vs_ref, vp_ref, bias_ref, out_ref, lse_ref, *,
+                             half: int, block: int, scale: float):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    length = len_ref[i]
+    qbase = j * block
+
+    q = q_ref[0] * scale
+    qpos = lax.broadcasted_iota(jnp.int32, (block, block), 0) + qbase
+
+    def scores_for(k_ref, koffset):
+        kpos = lax.broadcasted_iota(jnp.int32, (block, block), 1) + qbase + koffset
+        ok = (jnp.abs(kpos - qpos) <= half) & (kpos >= 0) & (kpos < length)
+        s = jnp.dot(q, k_ref[0].T, preferred_element_type=jnp.float32)
+        return jnp.where(ok, s, NEG_INF)
+
+    s = jnp.concatenate(
+        [scores_for(km_ref, -block), scores_for(ks_ref, 0),
+         scores_for(kp_ref, block)], axis=-1)
+    s = s + bias_ref[0]
+    m = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s - m)
+    l = jnp.maximum(jnp.sum(e, axis=-1, keepdims=True), 1e-20)
+    w = e / l
+
+    out = (
+        jnp.dot(w[:, :block], vm_ref[0], preferred_element_type=jnp.float32)
+        + jnp.dot(w[:, block : 2 * block], vs_ref[0],
+                  preferred_element_type=jnp.float32)
+        + jnp.dot(w[:, 2 * block :], vp_ref[0],
+                  preferred_element_type=jnp.float32)
+    )
+    out_ref[0] = out.astype(out_ref.dtype)
+    lse_ref[0] = m + jnp.log(l)
+
+
+def _flash_biased_dq_kernel(len_ref, q_ref, km_ref, ks_ref, kp_ref, vm_ref,
+                            vs_ref, vp_ref, bias_ref, do_ref, lse_ref, dd_ref,
+                            dq_ref, dbias_ref, *, half: int, block: int,
+                            scale: float, nheads: int):
+    h = pl.program_id(0)
+    b = pl.program_id(1)
+    j = pl.program_id(2)
+    length = len_ref[b * nheads + h]
+    qbase = j * block
+
+    @pl.when((b == 0) & (j == 0))
+    def _init():
+        dbias_ref[0] = jnp.zeros_like(dbias_ref[0])
+
+    q = q_ref[0]
+    do = do_ref[0].astype(jnp.float32)
+    lse = lse_ref[0]
+    dd = dd_ref[0]
+    qpos_col = lax.broadcasted_iota(jnp.int32, (block, 1), 0) + qbase
+    qvalid = qpos_col < length
+    qpos = lax.broadcasted_iota(jnp.int32, (block, block), 0) + qbase
+
+    acc = jnp.zeros((block, q.shape[-1]), jnp.float32)
+    for idx, (k_ref, v_ref, koffset) in enumerate(
+        ((km_ref, vm_ref, -block), (ks_ref, vs_ref, 0), (kp_ref, vp_ref, block))
+    ):
+        kpos = lax.broadcasted_iota(jnp.int32, (block, block), 1) + qbase + koffset
+        ok = (jnp.abs(kpos - qpos) <= half) & (kpos >= 0) & (kpos < length)
+        s = scale * jnp.dot(q, k_ref[0].T, preferred_element_type=jnp.float32)
+        s = s + bias_ref[0, :, idx * block : (idx + 1) * block]
+        p = jnp.where(ok & qvalid, jnp.exp(s - lse), 0.0)
+        dp = jnp.dot(do, v_ref[0].T, preferred_element_type=jnp.float32)
+        ds = p * (dp - dd)
+        dbias_ref[0, :, idx * block : (idx + 1) * block] += ds
+        acc = acc + jnp.dot(ds, k_ref[0], preferred_element_type=jnp.float32)
+    dq_ref[0] = (scale * acc).astype(dq_ref.dtype)
+
+
+def _flash_biased_dkv_kernel(len_ref, k_ref, v_ref, qm_ref, qs_ref, qp_ref,
+                             dom_ref, dos_ref, dop_ref, lsem_ref, lses_ref,
+                             lsep_ref, ddm_ref, dds_ref, ddp_ref, bias_ref,
+                             dk_ref, dv_ref, *, half: int, block: int,
+                             scale: float):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    length = len_ref[i]
+    kbase = j * block
+
+    k = k_ref[0]
+    v = v_ref[0]
+    kpos_row = lax.broadcasted_iota(jnp.int32, (block, block), 1) + kbase
+    dk = jnp.zeros((block, k.shape[-1]), jnp.float32)
+    dv = jnp.zeros((block, v.shape[-1]), jnp.float32)
+    for q_ref, do_ref, lse_ref, dd_ref, qoffset, slot in (
+        (qm_ref, dom_ref, lsem_ref, ddm_ref, -block, 2),
+        (qs_ref, dos_ref, lses_ref, dds_ref, 0, 1),
+        (qp_ref, dop_ref, lsep_ref, ddp_ref, block, 0),
+    ):
+        q = q_ref[0]
+        do = do_ref[0].astype(jnp.float32)
+        lse = lse_ref[0]
+        dd = dd_ref[0]
+        qpos = lax.broadcasted_iota(jnp.int32, (block, block), 0) + kbase + qoffset
+        ok = (
+            (jnp.abs(kpos_row - qpos) <= half)
+            & (kpos_row < length)
+            & (qpos >= 0)
+            & (qpos < length)
+        )
+        s = scale * jnp.dot(q, k.T, preferred_element_type=jnp.float32)
+        # this key block sits at neighborhood slot `slot` of the q block at
+        # offset `qoffset` (slot = 1 - qoffset/block)
+        s = s + bias_ref[0, :, slot * block : (slot + 1) * block]
+        p = jnp.where(ok, jnp.exp(s - lse), 0.0)
+        dv = dv + jnp.dot(p.T, do, preferred_element_type=jnp.float32)
+        dp = jnp.dot(do, v.T, preferred_element_type=jnp.float32)
+        ds = p * (dp - dd)
+        dk = dk + jnp.dot(ds.T, q, preferred_element_type=jnp.float32)
+    dk_ref[0] = (scale * dk).astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
+
+
+def _flash_biased_fwd_impl(q, k, v, mask, bias, window: int, scale: bool,
+                           interpret: bool):
+    B, H, L, Dh = q.shape
+    half = window // 2
+    block, nb, pad = _flash_geometry(L, half)
+    lengths = jnp.repeat(jnp.sum(mask.astype(jnp.int32), axis=1), H)
+
+    qf = _flash_prep(q, pad, B, H, nb, block, Dh)
+    kf = _flash_prep(k, pad, B, H, nb, block, Dh)
+    vf = _flash_prep(v, pad, B, H, nb, block, Dh)
+    biasf = bias.astype(jnp.float32)
+
+    def idx(fn):
+        return lambda i, j, lens: (i, fn(j), 0)
+
+    prev = lambda j: jnp.maximum(j - 1, 0)
+    self_ = lambda j: j
+    nxt = lambda j: jnp.minimum(j + 1, nb - 1)
+    blk = lambda fn: pl.BlockSpec((1, block, Dh), idx(fn))
+    stat = lambda fn: pl.BlockSpec((1, block, 1), idx(fn))
+    bias_spec = pl.BlockSpec((1, block, 3 * block),
+                             lambda i, j, lens: (i % H, 0, 0))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B * H, nb),
+        in_specs=[blk(self_), blk(prev), blk(self_), blk(nxt),
+                  blk(prev), blk(self_), blk(nxt), bias_spec],
+        out_specs=[blk(self_), stat(self_)],
+    )
+    out, lse = pl.pallas_call(
+        functools.partial(_flash_biased_fwd_kernel, half=half, block=block,
+                          scale=(1.0 / math.sqrt(Dh)) if scale else 1.0),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((B * H, nb * block, Dh), q.dtype),
+            jax.ShapeDtypeStruct((B * H, nb * block, 1), jnp.float32),
+        ],
+        interpret=interpret,
+    )(lengths, qf, kf, kf, kf, vf, vf, vf, biasf)
+    return out.reshape(B, H, nb * block, Dh)[:, :, :L], lse
+
+
+def _flash_biased_bwd_impl(q, k, v, mask, bias, out, lse, do, window: int,
+                           scale: bool, interpret: bool):
+    B, H, L, Dh = q.shape
+    half = window // 2
+    block, nb, pad = _flash_geometry(L, half)
+    lengths = jnp.repeat(jnp.sum(mask.astype(jnp.int32), axis=1), H)
+
+    qf = _flash_prep(q, pad, B, H, nb, block, Dh)
+    kf = _flash_prep(k, pad, B, H, nb, block, Dh)
+    vf = _flash_prep(v, pad, B, H, nb, block, Dh)
+    dof = _flash_prep(do, pad, B, H, nb, block, Dh)
+    biasf = bias.astype(jnp.float32)
+    dd = jnp.pad(jnp.sum(do * out, axis=-1), ((0, 0), (0, 0), (0, pad)))
+    dd = dd.reshape(B * H, nb * block, 1).astype(jnp.float32)
+
+    prev = lambda j: jnp.maximum(j - 1, 0)
+    self_ = lambda j: j
+    nxt = lambda j: jnp.minimum(j + 1, nb - 1)
+    sc = (1.0 / math.sqrt(Dh)) if scale else 1.0
+
+    # dq + dbias: h-major grid so each head's dbias block is revisited by
+    # consecutive steps and accumulates in VMEM (flat row = b*H + h)
+    dq_blk = lambda fn: pl.BlockSpec(
+        (1, block, Dh), lambda h, b, j, lens: (b * H + h, fn(j), 0))
+    dq_stat = lambda fn: pl.BlockSpec(
+        (1, block, 1), lambda h, b, j, lens: (b * H + h, fn(j), 0))
+    dq_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(H, B, nb),
+        in_specs=[dq_blk(self_), dq_blk(prev), dq_blk(self_), dq_blk(nxt),
+                  dq_blk(prev), dq_blk(self_), dq_blk(nxt),
+                  pl.BlockSpec((1, block, 3 * block),
+                               lambda h, b, j, lens: (h, 0, 0)),
+                  dq_blk(self_), dq_stat(self_), dq_stat(self_)],
+        out_specs=[dq_blk(self_),
+                   pl.BlockSpec((1, block, 3 * block),
+                                lambda h, b, j, lens: (h, 0, 0))],
+    )
+    dq, dbias = pl.pallas_call(
+        functools.partial(_flash_biased_dq_kernel, half=half, block=block,
+                          scale=sc, nheads=H),
+        grid_spec=dq_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((B * H, nb * block, Dh), q.dtype),
+            jax.ShapeDtypeStruct((H, block, 3 * block), jnp.float32),
+        ],
+        interpret=interpret,
+    )(lengths, qf, kf, kf, kf, vf, vf, vf, biasf, dof, lse, dd)
+
+    def idx(fn):
+        return lambda i, j, lens: (i, fn(j), 0)
+
+    blk = lambda fn: pl.BlockSpec((1, block, Dh), idx(fn))
+    stat = lambda fn: pl.BlockSpec((1, block, 1), idx(fn))
+    dkv_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B * H, nb),
+        in_specs=[blk(self_), blk(self_),
+                  blk(prev), blk(self_), blk(nxt),
+                  blk(prev), blk(self_), blk(nxt),
+                  stat(prev), stat(self_), stat(nxt),
+                  stat(prev), stat(self_), stat(nxt),
+                  pl.BlockSpec((1, block, 3 * block),
+                               lambda i, j, lens: (i % H, 0, 0))],
+        out_specs=[blk(self_), blk(self_)],
+    )
+    dk, dv = pl.pallas_call(
+        functools.partial(_flash_biased_dkv_kernel, half=half, block=block,
+                          scale=sc),
+        grid_spec=dkv_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((B * H, nb * block, Dh), k.dtype),
+            jax.ShapeDtypeStruct((B * H, nb * block, Dh), v.dtype),
+        ],
+        interpret=interpret,
+    )(lengths, kf, vf, qf, qf, qf, dof, dof, dof, lse, lse, lse, dd, dd, dd,
+      biasf)
+
+    unflat = lambda x: x.reshape(B, H, nb * block, Dh)[:, :, :L]
+    return unflat(dq), unflat(dk), unflat(dv), dbias.astype(bias.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def flash_local_attention_biased(q, k, v, mask, bias, window: int,
+                                 scale: bool = False,
+                                 interpret: bool = False):
+    """Flash local attention with a translation-invariant additive bias tile.
+    q,k,v: [B, H, L, Dh]; mask: [B, L] PREFIX mask; bias: [H, block, 3*block]
+    where block = _flash_geometry(L, window//2)[0] and column c of the tile is
+    relative offset c - block - row. Differentiable in q/k/v/bias (the tile
+    gradient backpropagates into the learnable T5 bucket table outside)."""
+    out, _ = _flash_biased_fwd_impl(q, k, v, mask, bias, window, scale,
+                                    interpret)
+    return out
+
+
+def _flash_biased_vjp_fwd(q, k, v, mask, bias, window, scale, interpret):
+    out, lse = _flash_biased_fwd_impl(q, k, v, mask, bias, window, scale,
+                                      interpret)
+    return out, (q, k, v, mask, bias, out, lse)
+
+
+def _flash_biased_vjp_bwd(window, scale, interpret, res, do):
+    q, k, v, mask, bias, out, lse = res
+    dq, dk, dv, dbias = _flash_biased_bwd_impl(
+        q, k, v, mask, bias, out, lse, do, window, scale, interpret)
+    return dq, dk, dv, jnp.zeros_like(mask), dbias
+
+
+flash_local_attention_biased.defvjp(_flash_biased_vjp_fwd,
+                                    _flash_biased_vjp_bwd)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))

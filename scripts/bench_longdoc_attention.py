@@ -8,7 +8,14 @@ rematerialization, focal loss, Adam. Harness: queue 20 steps, fence on a
 SCALAR device->host transfer (per-call syncs measure the ~30 ms axon
 tunnel, not the chip).
 
-Usage: python scripts/bench_longdoc_attention.py [xla|flash|both]
+Also drives the T5-biased family: `RecurrentLongT5` at the same shape. At
+batch 10 the XLA banded path CRASHES the TPU worker (its [B,H,nb,block,3b]
+score tensor is 4.15 GB); the biased flash pair runs it at 117.7 ms/step.
+At batch 2 (both fit): XLA 39.4 vs flash 38.1 ms at identical loss.
+
+Usage: python scripts/bench_longdoc_attention.py [xla|flash|both] [arch] [batch]
+  arch:  Transformer (default) | RecurrentLongT5
+  batch: default 10
 """
 import os
 import sys
@@ -19,7 +26,7 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def measure(mode: str):
+def measure(mode: str, arch_name: str = "Transformer", B: int = 10):
     os.environ["MTS_FLASH_ATTENTION"] = "1" if mode == "flash" else "0"
     import jax
     import jax.numpy as jnp
@@ -29,12 +36,12 @@ def measure(mode: str):
     from multimodaltopicsegmentation_tpu.models.registry import build
     from multimodaltopicsegmentation_tpu.train.loop import make_optimizer
 
-    B, L, D = 10, 3600, 768
+    L, D = 3600, 768
     cfg = TaggerConfig(
         embedding_dim=D, hidden_dim=256, num_layers=2, nheads=8,
         attention_window=120, loss_fn="FocalLoss",
     )
-    arch = build("Transformer", cfg)
+    arch = build(arch_name, cfg)
     params = arch.init(jax.random.PRNGKey(0))
     tx = make_optimizer("Adam", 1e-3)
     state = tx.init(params)
@@ -69,7 +76,9 @@ def measure(mode: str):
 
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "both"
+    arch_name = sys.argv[2] if len(sys.argv) > 2 else "Transformer"
+    B = int(sys.argv[3]) if len(sys.argv) > 3 else 10
     if which in ("xla", "both"):
-        measure("xla")
+        measure("xla", arch_name, B)
     if which in ("flash", "both"):
-        measure("flash")
+        measure("flash", arch_name, B)

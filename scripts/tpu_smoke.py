@@ -93,6 +93,39 @@ def main() -> int:
         out = jax.jit(lambda q, m: local_attention(q, q, q, 16, m))(q, mask)
         assert np.all(np.isfinite(np.asarray(out)))
 
+    def flash_attention_grad():
+        # the TPU-default training path: flash Pallas fwd + custom_vjp bwd
+        from multimodaltopicsegmentation_tpu.ops.pallas_attention import (
+            flash_local_attention,
+        )
+
+        q = jnp.asarray(rng.standard_normal((1, 2, 128, 16)), jnp.float32)
+        mask = jnp.ones((1, 128), jnp.float32)
+        grads = jax.jit(
+            jax.grad(lambda q, m: jnp.sum(flash_local_attention(q, q, q, m, 32) ** 2))
+        )(q, mask)
+        assert np.all(np.isfinite(np.asarray(grads)))
+
+    def flash_biased_attention_grad():
+        # the TPU-default T5-family path: biased flash pair + table gradient
+        from multimodaltopicsegmentation_tpu.ops.attention import (
+            local_attention, relative_bias_fn,
+        )
+
+        q = jnp.asarray(rng.standard_normal((1, 2, 128, 16)), jnp.float32)
+        mask = jnp.ones((1, 128), jnp.float32)
+        table = jnp.asarray(rng.standard_normal((8, 2)) * 0.1, jnp.float32)
+
+        def loss(q, tbl):
+            o = local_attention(q, q, q, 32, mask,
+                                bias_fn=relative_bias_fn(tbl, 8, 33),
+                                scale=False)
+            return jnp.sum(o ** 2)
+
+        gq, gt = jax.jit(jax.grad(loss, argnums=(0, 1)))(q, table)
+        assert np.all(np.isfinite(np.asarray(gq)))
+        assert np.all(np.isfinite(np.asarray(gt)))
+
     def pallas_kernel():
         from multimodaltopicsegmentation_tpu.ops.pallas_attention import (
             pallas_local_attention,
@@ -167,6 +200,8 @@ def main() -> int:
         ("flagship grad step", flagship_grad_step),
         ("CRF Viterbi", crf_viterbi),
         ("blocked local attention", blocked_local_attention),
+        ("flash attention fwd+bwd (TPU training default)", flash_attention_grad),
+        ("flash biased attention fwd+bwd (T5 family)", flash_biased_attention_grad),
         ("pallas local attention kernel", pallas_kernel),
         ("pallas fused instance-norm+gelu kernel", pallas_norm_kernel),
         ("CRDNN VAD posteriors", crdnn_vad_posteriors),

@@ -136,10 +136,75 @@ def test_flash_grads_match_xla_path(window, L):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=2e-5)
 
 
-def test_flash_dispatch_rejects_bias():
-    q, k, v = _rand_qkv(4, L=16)
-    with pytest.raises(AssertionError, match="bias-free"):
-        A.local_attention(
-            q, k, v, 8, bias_fn=lambda rel: jnp.zeros((2,) + rel.shape),
-            use_pallas="flash",
+def _biased_setup(seed, window, L, num_buckets=8):
+    """qkv + prefix mask + a learnable T5-style bucket table and its
+    bias_fn, plus the flash-geometry bias tile builder."""
+    from multimodaltopicsegmentation_tpu.ops.pallas_attention import (
+        _flash_geometry,
+    )
+
+    q, k, v = _rand_qkv(seed, L=L)
+    H = q.shape[1]
+    lengths = np.array([L, max(L - 5, 1)])
+    mask = jnp.asarray((np.arange(L)[None, :] < lengths[:, None]).astype(np.float32))
+    rng = np.random.default_rng(seed + 100)
+    table = jnp.asarray(rng.standard_normal((num_buckets, H)) * 0.1, jnp.float32)
+
+    def bias_fn_of(tbl):
+        return A.relative_bias_fn(tbl, num_buckets, window + 1)
+
+    fblock = _flash_geometry(L, window // 2)[0]
+    rel = jnp.asarray(
+        np.arange(3 * fblock)[None, :] - fblock - np.arange(fblock)[:, None]
+    )
+    return q, k, v, mask, table, bias_fn_of, rel
+
+
+@pytest.mark.parametrize("window,L,scale", [(4, 16, False), (8, 37, False),
+                                            (8, 37, True)])
+def test_flash_biased_forward_matches_xla(window, L, scale):
+    from multimodaltopicsegmentation_tpu.ops.pallas_attention import (
+        flash_local_attention_biased,
+    )
+
+    q, k, v, mask, table, bias_fn_of, rel = _biased_setup(7, window, L)
+    ref = A.local_attention(q, k, v, window, mask, bias_fn=bias_fn_of(table),
+                            scale=scale, use_pallas=False)
+    tile = bias_fn_of(table)(rel)
+    out = flash_local_attention_biased(q, k, v, mask, tile, window, scale, True)
+    lengths = np.sum(np.asarray(mask), axis=1).astype(int)
+    for b in range(q.shape[0]):
+        np.testing.assert_allclose(
+            np.asarray(out)[b, :, : lengths[b]],
+            np.asarray(ref)[b, :, : lengths[b]],
+            atol=1e-5,
         )
+
+
+@pytest.mark.parametrize("window,L", [(4, 16), (8, 37)])
+def test_flash_biased_grads_match_xla_incl_bias_table(window, L):
+    """dq/dk/dv AND the learnable bucket-table gradient (accumulated
+    in-kernel over the h-major grid) must match XLA autodiff of the
+    blocked path."""
+    from multimodaltopicsegmentation_tpu.ops.pallas_attention import (
+        flash_local_attention_biased,
+    )
+
+    q, k, v, mask, table, bias_fn_of, rel = _biased_setup(8, window, L)
+    m4 = mask[:, None, :, None]
+
+    def loss_xla(q, k, v, tbl):
+        o = A.local_attention(q, k, v, window, mask, bias_fn=bias_fn_of(tbl),
+                              scale=False, use_pallas=False)
+        return jnp.sum(jnp.sin(o) * m4)
+
+    def loss_flash(q, k, v, tbl):
+        tile = bias_fn_of(tbl)(rel)
+        o = flash_local_attention_biased(q, k, v, mask, tile, window, False,
+                                         True)
+        return jnp.sum(jnp.sin(o) * m4)
+
+    g_ref = jax.grad(loss_xla, argnums=(0, 1, 2, 3))(q, k, v, table)
+    g_got = jax.grad(loss_flash, argnums=(0, 1, 2, 3))(q, k, v, table)
+    for a, b in zip(g_ref, g_got):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=2e-5)

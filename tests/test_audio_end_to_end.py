@@ -124,6 +124,7 @@ def test_extract_train_predict_mfcc(tmp_path):
     assert os.path.exists(seg_dir)
 
 
+@pytest.mark.slow
 def test_extract_wav2vec_smoke(tmp_path, monkeypatch):
     """Raw audio through the NEURAL (wav2vec2) extraction path with random
     weights (MTS_RANDOM_ENCODER_WEIGHTS=1): batched device encode, the 7

@@ -51,6 +51,7 @@ def test_respects_lengths_and_grads():
     assert np.abs(np.asarray(g)[1, 6:]).max() == 0.0
 
 
+@pytest.mark.slow
 def test_bilstm_with_cosine_flag_trains():
     cfg = TaggerConfig(embedding_dim=8, hidden_dim=8, num_layers=1,
                        loss_fn="FocalLoss", cosine_loss=True)

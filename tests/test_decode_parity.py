@@ -57,6 +57,7 @@ def _convert(tm: TorchBiLSTM, layers, H):
 
 
 @pytest.mark.parametrize("layers", [1, 2])
+@pytest.mark.slow
 def test_identical_boundary_predictions(layers):
     torch.manual_seed(0)
     D, H = 24, 16

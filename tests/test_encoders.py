@@ -29,6 +29,7 @@ def test_xvector_shapes():
     assert all(np.isfinite(e).all() for e in embs)
 
 
+@pytest.mark.slow
 def test_ecapa_shapes():
     from multimodaltopicsegmentation_tpu.encoders.tdnn import EcapaEncoder
 
@@ -39,6 +40,7 @@ def test_ecapa_shapes():
     assert all(e.shape == (192,) for e in embs)
 
 
+@pytest.mark.slow
 def test_crepe_shapes():
     from multimodaltopicsegmentation_tpu.encoders.crepe import CrepeEncoder
 

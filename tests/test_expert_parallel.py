@@ -19,6 +19,8 @@ from multimodaltopicsegmentation_tpu.parallel.expert import (
     make_expert_mesh,
 )
 
+pytestmark = pytest.mark.slow  # expert shard_map compiles dominate the suite
+
 
 def _setup(loss_fn="FocalLoss", B=6, L=12, D=8):
     cfg = TaggerConfig(

@@ -61,6 +61,7 @@ def test_wav2vec_engine_chunking(monkeypatch):
         np.testing.assert_allclose(a, b, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_continue_from_check_frame_level(tmp_path, monkeypatch):
     """--continue_from_check must recognize already-extracted documents for
     FRAME-LEVEL encoders, whose outputs live in the pooling subdirs."""

@@ -11,6 +11,10 @@ import os
 import subprocess
 import sys
 
+import pytest
+
+pytestmark = pytest.mark.slow  # full dryrun compile at 8 virtual devices (~2 min each)
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 

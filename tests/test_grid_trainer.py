@@ -9,6 +9,8 @@ from multimodaltopicsegmentation_tpu.train import checkpoints as ckpt_lib
 from multimodaltopicsegmentation_tpu.train.grid import GridTrainer
 from multimodaltopicsegmentation_tpu.train.loop import Trainer
 
+pytestmark = pytest.mark.slow  # vmapped-grid vs serial parity fits are compile-heavy
+
 GRID = [(0.0, 0.0), (0.2, 0.5), (0.5, 0.2)]
 
 

@@ -14,6 +14,8 @@ from multimodaltopicsegmentation_tpu.parallel.train_step import (
 )
 from multimodaltopicsegmentation_tpu.train.loop import make_optimizer
 
+pytestmark = pytest.mark.slow  # shard_map compile-heavy (dryrun entrypoint ~2 min)
+
 
 @pytest.fixture(scope="module")
 def setup():

@@ -19,6 +19,8 @@ from multimodaltopicsegmentation_tpu.parallel.pipeline import (
     pipeline_transformer_scores,
 )
 
+pytestmark = pytest.mark.slow  # GPipe grad-parity compiles dominate the suite
+
 
 def _setup(n_layers=4, restricted=True, L=24, B=8):
     cfg = TaggerConfig(

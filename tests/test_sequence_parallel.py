@@ -11,6 +11,8 @@ from multimodaltopicsegmentation_tpu.parallel.sequence import (
     sequence_sharded_local_attention,
 )
 
+pytestmark = pytest.mark.slow  # sequence shard_map compiles dominate the suite
+
 
 @pytest.mark.parametrize("window,L", [(8, 64), (16, 128)])
 def test_seq_sharded_matches_single_device(window, L):

@@ -14,6 +14,8 @@ import jax
 from multimodaltopicsegmentation_tpu.models.base import TaggerConfig
 from multimodaltopicsegmentation_tpu.train.loop import Trainer
 
+pytestmark = pytest.mark.slow  # Trainer mesh/sequence/expert fits are compile-heavy
+
 
 def _batches(rng, B=4, L=64, D=16, n_batches=2, domains=None):
     out = []

@@ -109,6 +109,7 @@ def test_search_threshold_crf_returns_default(tmp_path, rng):
 @pytest.mark.parametrize("arch,loss_fn", [("BiLSTM", "FocalLoss"),
                                           ("BiLSTM", "CrossEntropy"),
                                           ("biLSTMCRF", "CrossEntropy")])
+@pytest.mark.slow
 def test_mesh_fit_matches_single_device(tmp_path, rng, arch, loss_fn):
     """Trainer.fit over the 8-device mesh = single-device numerics, with an
     odd batch that forces zero-length document padding."""
@@ -140,6 +141,7 @@ def test_detect_anomaly_off_trains_through(tmp_path, rng):
     trainer.fit([batch])  # must not raise
 
 
+@pytest.mark.slow
 def test_mesh_fit_late_fusion_matches_single_device(tmp_path, rng):
     """The 'double' extra input (second modality) shards with the batch."""
     cfg = TaggerConfig(embedding_dim=12, embedding_dim2=10, hidden_dim=8,
@@ -165,6 +167,7 @@ def test_mesh_fit_late_fusion_matches_single_device(tmp_path, rng):
         assert r["training_loss"] == pytest.approx(m["training_loss"], rel=2e-5)
 
 
+@pytest.mark.slow
 def test_mesh_fit_domain_adapt_matches_single_device(tmp_path, rng):
     """The 'domain' extra input (per-doc ids) shards with the batch."""
     cfg = TaggerConfig(embedding_dim=12, hidden_dim=8, num_layers=1,
