@@ -30,6 +30,27 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e9
 
 
+def _flash_bf16() -> bool:
+    # MTS_FLASH_BF16=1 runs the flash kernels' matmuls with bf16 operands
+    # (f32 accumulation) — the same effective precision as the XLA path's
+    # DEFAULT TPU matmuls. Off by default: a clean A/B at the flagship
+    # 10x3600 train step measured bf16 ~3% SLOWER (69.6 vs 67.6 ms, tight
+    # across trials) — the kernels are bandwidth/VPU-bound, not MXU-bound,
+    # so the casts only add VPU work. Kept as an opt-in for future shapes
+    # where the MXU dominates; exact-f32 parity with the CPU reference is
+    # the default.
+    import os
+
+    return os.environ.get("MTS_FLASH_BF16", "0") == "1"
+
+
+def _dot(a, b, bf16: bool):
+    if bf16:
+        a = a.astype(jnp.bfloat16)
+        b = b.astype(jnp.bfloat16)
+    return jnp.dot(a, b, preferred_element_type=jnp.float32)
+
+
 def _kernel(len_ref, q_ref, km_ref, ks_ref, kp_ref, vm_ref, vs_ref, vp_ref,
             out_ref, *, half: int, block: int, scale: float):
     i = pl.program_id(0)
@@ -145,7 +166,7 @@ def pallas_local_attention(q, k, v, window: int, mask=None, interpret: bool = Fa
 
 def _flash_fwd_kernel(len_ref, q_ref, km_ref, ks_ref, kp_ref, vm_ref, vs_ref,
                       vp_ref, out_ref, lse_ref, *, half: int, block: int,
-                      scale: float):
+                      scale: float, bf16: bool):
     i = pl.program_id(0)
     j = pl.program_id(1)
     length = len_ref[i]
@@ -157,7 +178,7 @@ def _flash_fwd_kernel(len_ref, q_ref, km_ref, ks_ref, kp_ref, vm_ref, vs_ref,
     def scores_for(k_ref, koffset):
         kpos = lax.broadcasted_iota(jnp.int32, (block, block), 1) + qbase + koffset
         ok = (jnp.abs(kpos - qpos) <= half) & (kpos >= 0) & (kpos < length)
-        s = jnp.dot(q, k_ref[0].T, preferred_element_type=jnp.float32)
+        s = _dot(q, k_ref[0].T, bf16)
         return jnp.where(ok, s, NEG_INF)
 
     s = jnp.concatenate(
@@ -169,11 +190,9 @@ def _flash_fwd_kernel(len_ref, q_ref, km_ref, ks_ref, kp_ref, vm_ref, vs_ref,
     w = e / l
 
     out = (
-        jnp.dot(w[:, :block], vm_ref[0], preferred_element_type=jnp.float32)
-        + jnp.dot(w[:, block : 2 * block], vs_ref[0],
-                  preferred_element_type=jnp.float32)
-        + jnp.dot(w[:, 2 * block :], vp_ref[0],
-                  preferred_element_type=jnp.float32)
+        _dot(w[:, :block], vm_ref[0], bf16)
+        + _dot(w[:, block : 2 * block], vs_ref[0], bf16)
+        + _dot(w[:, 2 * block :], vp_ref[0], bf16)
     )
     out_ref[0] = out.astype(out_ref.dtype)
     lse_ref[0] = m + jnp.log(l)
@@ -181,7 +200,7 @@ def _flash_fwd_kernel(len_ref, q_ref, km_ref, ks_ref, kp_ref, vm_ref, vs_ref,
 
 def _flash_dq_kernel(len_ref, q_ref, km_ref, ks_ref, kp_ref, vm_ref, vs_ref,
                      vp_ref, do_ref, lse_ref, dd_ref, dq_ref, *, half: int,
-                     block: int, scale: float):
+                     block: int, scale: float, bf16: bool):
     i = pl.program_id(0)
     j = pl.program_id(1)
     length = len_ref[i]
@@ -200,18 +219,18 @@ def _flash_dq_kernel(len_ref, q_ref, km_ref, ks_ref, kp_ref, vm_ref, vs_ref,
                                   (kp_ref, vp_ref, block)):
         kpos = lax.broadcasted_iota(jnp.int32, (block, block), 1) + qbase + koffset
         ok = (jnp.abs(kpos - qpos) <= half) & (kpos >= 0) & (kpos < length)
-        s = scale * jnp.dot(q, k_ref[0].T, preferred_element_type=jnp.float32)
+        s = scale * _dot(q, k_ref[0].T, bf16)
         p = jnp.where(ok & qvalid, jnp.exp(s - lse), 0.0)
-        dp = jnp.dot(do, v_ref[0].T, preferred_element_type=jnp.float32)
+        dp = _dot(do, v_ref[0].T, bf16)
         ds = p * (dp - dd)
-        acc = acc + jnp.dot(ds, k_ref[0], preferred_element_type=jnp.float32)
+        acc = acc + _dot(ds, k_ref[0], bf16)
     dq_ref[0] = (scale * acc).astype(dq_ref.dtype)
 
 
 def _flash_dkv_kernel(len_ref, k_ref, v_ref, qm_ref, qs_ref, qp_ref, dom_ref,
                       dos_ref, dop_ref, lsem_ref, lses_ref, lsep_ref, ddm_ref,
                       dds_ref, ddp_ref, dk_ref, dv_ref, *, half: int,
-                      block: int, scale: float):
+                      block: int, scale: float, bf16: bool):
     i = pl.program_id(0)
     j = pl.program_id(1)
     length = len_ref[i]
@@ -238,12 +257,12 @@ def _flash_dkv_kernel(len_ref, k_ref, v_ref, qm_ref, qs_ref, qp_ref, dom_ref,
             & (qpos >= 0)
             & (qpos < length)
         )
-        s = scale * jnp.dot(q, k.T, preferred_element_type=jnp.float32)
+        s = scale * _dot(q, k.T, bf16)
         p = jnp.where(ok, jnp.exp(s - lse), 0.0)  # [bq, bk]
-        dv = dv + jnp.dot(p.T, do, preferred_element_type=jnp.float32)
-        dp = jnp.dot(do, v.T, preferred_element_type=jnp.float32)
+        dv = dv + _dot(p.T, do, bf16)
+        dp = _dot(do, v.T, bf16)
         ds = p * (dp - dd)
-        dk = dk + jnp.dot(ds.T, q, preferred_element_type=jnp.float32)
+        dk = dk + _dot(ds.T, q, bf16)
     dk_ref[0] = (scale * dk).astype(dk_ref.dtype)
     dv_ref[0] = dv.astype(dv_ref.dtype)
 
@@ -294,7 +313,7 @@ def _flash_fwd_impl(q, k, v, mask, window: int, interpret: bool):
     )
     out, lse = pl.pallas_call(
         functools.partial(_flash_fwd_kernel, half=half, block=block,
-                          scale=1.0 / math.sqrt(Dh)),
+                          scale=1.0 / math.sqrt(Dh), bf16=_flash_bf16()),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((B * H, nb * block, Dh), q.dtype),
@@ -338,7 +357,8 @@ def _flash_bwd_impl(q, k, v, mask, out, lse, do, window: int, interpret: bool):
         out_specs=blk(self_),
     )
     dq = pl.pallas_call(
-        functools.partial(_flash_dq_kernel, half=half, block=block, scale=scale),
+        functools.partial(_flash_dq_kernel, half=half, block=block,
+                          scale=scale, bf16=_flash_bf16()),
         grid_spec=dq_spec,
         out_shape=jax.ShapeDtypeStruct((B * H, nb * block, Dh), q.dtype),
         interpret=interpret,
@@ -355,7 +375,8 @@ def _flash_bwd_impl(q, k, v, mask, out, lse, do, window: int, interpret: bool):
         out_specs=[blk(self_), blk(self_)],
     )
     dk, dv = pl.pallas_call(
-        functools.partial(_flash_dkv_kernel, half=half, block=block, scale=scale),
+        functools.partial(_flash_dkv_kernel, half=half, block=block,
+                          scale=scale, bf16=_flash_bf16()),
         grid_spec=dkv_spec,
         out_shape=[
             jax.ShapeDtypeStruct((B * H, nb * block, Dh), k.dtype),
@@ -384,7 +405,7 @@ def _flash_bwd_impl(q, k, v, mask, out, lse, do, window: int, interpret: bool):
 
 def _flash_biased_fwd_kernel(len_ref, q_ref, km_ref, ks_ref, kp_ref, vm_ref,
                              vs_ref, vp_ref, bias_ref, out_ref, lse_ref, *,
-                             half: int, block: int, scale: float):
+                             half: int, block: int, scale: float, bf16: bool):
     i = pl.program_id(0)
     j = pl.program_id(1)
     length = len_ref[i]
@@ -396,7 +417,7 @@ def _flash_biased_fwd_kernel(len_ref, q_ref, km_ref, ks_ref, kp_ref, vm_ref,
     def scores_for(k_ref, koffset):
         kpos = lax.broadcasted_iota(jnp.int32, (block, block), 1) + qbase + koffset
         ok = (jnp.abs(kpos - qpos) <= half) & (kpos >= 0) & (kpos < length)
-        s = jnp.dot(q, k_ref[0].T, preferred_element_type=jnp.float32)
+        s = _dot(q, k_ref[0].T, bf16)
         return jnp.where(ok, s, NEG_INF)
 
     s = jnp.concatenate(
@@ -409,11 +430,9 @@ def _flash_biased_fwd_kernel(len_ref, q_ref, km_ref, ks_ref, kp_ref, vm_ref,
     w = e / l
 
     out = (
-        jnp.dot(w[:, :block], vm_ref[0], preferred_element_type=jnp.float32)
-        + jnp.dot(w[:, block : 2 * block], vs_ref[0],
-                  preferred_element_type=jnp.float32)
-        + jnp.dot(w[:, 2 * block :], vp_ref[0],
-                  preferred_element_type=jnp.float32)
+        _dot(w[:, :block], vm_ref[0], bf16)
+        + _dot(w[:, block : 2 * block], vs_ref[0], bf16)
+        + _dot(w[:, 2 * block :], vp_ref[0], bf16)
     )
     out_ref[0] = out.astype(out_ref.dtype)
     lse_ref[0] = m + jnp.log(l)
@@ -422,7 +441,7 @@ def _flash_biased_fwd_kernel(len_ref, q_ref, km_ref, ks_ref, kp_ref, vm_ref,
 def _flash_biased_dq_kernel(len_ref, q_ref, km_ref, ks_ref, kp_ref, vm_ref,
                             vs_ref, vp_ref, bias_ref, do_ref, lse_ref, dd_ref,
                             dq_ref, dbias_ref, *, half: int, block: int,
-                            scale: float, nheads: int):
+                            scale: float, nheads: int, bf16: bool):
     h = pl.program_id(0)
     b = pl.program_id(1)
     j = pl.program_id(2)
@@ -447,13 +466,13 @@ def _flash_biased_dq_kernel(len_ref, q_ref, km_ref, ks_ref, kp_ref, vm_ref,
     ):
         kpos = lax.broadcasted_iota(jnp.int32, (block, block), 1) + qbase + koffset
         ok = (jnp.abs(kpos - qpos) <= half) & (kpos >= 0) & (kpos < length)
-        s = scale * jnp.dot(q, k_ref[0].T, preferred_element_type=jnp.float32)
+        s = scale * _dot(q, k_ref[0].T, bf16)
         s = s + bias_ref[0, :, idx * block : (idx + 1) * block]
         p = jnp.where(ok & qvalid, jnp.exp(s - lse), 0.0)
-        dp = jnp.dot(do, v_ref[0].T, preferred_element_type=jnp.float32)
+        dp = _dot(do, v_ref[0].T, bf16)
         ds = p * (dp - dd)
         dbias_ref[0, :, idx * block : (idx + 1) * block] += ds
-        acc = acc + jnp.dot(ds, k_ref[0], preferred_element_type=jnp.float32)
+        acc = acc + _dot(ds, k_ref[0], bf16)
     dq_ref[0] = (scale * acc).astype(dq_ref.dtype)
 
 
@@ -461,7 +480,7 @@ def _flash_biased_dkv_kernel(len_ref, k_ref, v_ref, qm_ref, qs_ref, qp_ref,
                              dom_ref, dos_ref, dop_ref, lsem_ref, lses_ref,
                              lsep_ref, ddm_ref, dds_ref, ddp_ref, bias_ref,
                              dk_ref, dv_ref, *, half: int, block: int,
-                             scale: float):
+                             scale: float, bf16: bool):
     i = pl.program_id(0)
     j = pl.program_id(1)
     length = len_ref[i]
@@ -488,15 +507,15 @@ def _flash_biased_dkv_kernel(len_ref, k_ref, v_ref, qm_ref, qs_ref, qp_ref,
             & (qpos >= 0)
             & (qpos < length)
         )
-        s = scale * jnp.dot(q, k.T, preferred_element_type=jnp.float32)
+        s = scale * _dot(q, k.T, bf16)
         # this key block sits at neighborhood slot `slot` of the q block at
         # offset `qoffset` (slot = 1 - qoffset/block)
         s = s + bias_ref[0, :, slot * block : (slot + 1) * block]
         p = jnp.where(ok, jnp.exp(s - lse), 0.0)
-        dv = dv + jnp.dot(p.T, do, preferred_element_type=jnp.float32)
-        dp = jnp.dot(do, v.T, preferred_element_type=jnp.float32)
+        dv = dv + _dot(p.T, do, bf16)
+        dp = _dot(do, v.T, bf16)
         ds = p * (dp - dd)
-        dk = dk + jnp.dot(ds.T, q, preferred_element_type=jnp.float32)
+        dk = dk + _dot(ds.T, q, bf16)
     dk_ref[0] = (scale * dk).astype(dk_ref.dtype)
     dv_ref[0] = dv.astype(dv_ref.dtype)
 
@@ -533,7 +552,8 @@ def _flash_biased_fwd_impl(q, k, v, mask, bias, window: int, scale: bool,
     )
     out, lse = pl.pallas_call(
         functools.partial(_flash_biased_fwd_kernel, half=half, block=block,
-                          scale=(1.0 / math.sqrt(Dh)) if scale else 1.0),
+                          scale=(1.0 / math.sqrt(Dh)) if scale else 1.0,
+                          bf16=_flash_bf16()),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((B * H, nb * block, Dh), q.dtype),
@@ -584,7 +604,7 @@ def _flash_biased_bwd_impl(q, k, v, mask, bias, out, lse, do, window: int,
     )
     dq, dbias = pl.pallas_call(
         functools.partial(_flash_biased_dq_kernel, half=half, block=block,
-                          scale=sc, nheads=H),
+                          scale=sc, nheads=H, bf16=_flash_bf16()),
         grid_spec=dq_spec,
         out_shape=[
             jax.ShapeDtypeStruct((B * H, nb * block, Dh), q.dtype),
@@ -612,7 +632,7 @@ def _flash_biased_bwd_impl(q, k, v, mask, bias, out, lse, do, window: int,
     )
     dk, dv = pl.pallas_call(
         functools.partial(_flash_biased_dkv_kernel, half=half, block=block,
-                          scale=sc),
+                          scale=sc, bf16=_flash_bf16()),
         grid_spec=dkv_spec,
         out_shape=[
             jax.ShapeDtypeStruct((B * H, nb * block, Dh), k.dtype),
@@ -662,8 +682,8 @@ def flash_local_attention(q, k, v, mask, window: int, interpret: bool = False):
     """Streaming-softmax sliding-window attention with a fused Pallas
     backward. q,k,v: [B, H, L, Dh]; mask: [B, L] PREFIX mask (1=valid);
     window = total span, even. Scaled scores, no bias support — the
-    Longformer-family configuration (the LongT5 bias/unscaled path stays on
-    the XLA kernel)."""
+    Longformer-family configuration (the LongT5 bias/unscaled path goes
+    through flash_local_attention_biased)."""
     out, _ = _flash_fwd_impl(q, k, v, mask, window, interpret)
     return out
 
