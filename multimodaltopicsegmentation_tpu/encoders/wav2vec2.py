@@ -16,6 +16,11 @@ Architecture (wav2vec2-base, do_stable_layer_norm=False):
 pytree; parity vs `transformers.Wav2Vec2Model` is pinned in
 tests/test_wav2vec2.py on a tiny random config (weight-level equivalence,
 so real pretrained checkpoints load unchanged).
+
+Transformer-layer params are stored STACKED ([num_layers, ...] leaves) by
+default so the encoder cold-compiles in ~21 s instead of 2-5 min on the
+remote-compile tunnel (~1.5% steady-state cost); MTS_W2V2_STACKED=0
+restores per-layer buffers for peak throughput. See _stack_layers.
 """
 from __future__ import annotations
 
@@ -167,7 +172,31 @@ def init_params(rng, cfg: Wav2Vec2Config) -> dict:
                 "ln2": {"scale": jnp.ones((D,)), "bias": jnp.zeros((D,))},
             }
         )
+    if _stacked_storage():
+        params["encoder_layers"] = _stack_layers(params["encoder_layers"])
     return params
+
+
+def _stack_layers(layers: list) -> dict:
+    """List of identically-shaped per-layer pytrees -> one pytree with a
+    leading [L] axis on every leaf.
+
+    Stacked storage is the default because it makes the encoder compile
+    FAST: 16 [L, ...] parameter buffers instead of 16*L separate arrays.
+    Measured on the axon remote-compile tunnel (wav2vec2-base, 150x1s
+    batch): cold compile 21 s stacked+fully-inlined vs 124-310 s with
+    per-layer buffers, at a ~1.5% steady-state cost (81.7-82.1 vs
+    83.3 audio-min/s — the [L,...] slices constrain XLA's per-layer buffer
+    choices). `MTS_W2V2_STACKED=0` at init/convert time restores per-layer
+    list storage (peak throughput, slow cold compile); `apply` handles
+    both. Full numbers: docs/PERFORMANCE.md."""
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *layers)
+
+
+def _stacked_storage() -> bool:
+    import os
+
+    return os.environ.get("MTS_W2V2_STACKED", "1") == "1"
 
 
 def feature_extractor_output_length(cfg: Wav2Vec2Config, n_samples: int) -> int:
@@ -253,7 +282,7 @@ def apply(params: dict, cfg: Wav2Vec2Config, audio: jnp.ndarray,
     x = _layer_norm(params["enc_ln"], x, cfg.layer_norm_eps)
     x = x * fmask[..., None]
 
-    for lp in params["encoder_layers"]:
+    def _encoder_layer(x, lp):
         q = split_heads(x @ lp["q"]["w"] + lp["q"]["b"], cfg.num_heads)
         kk = split_heads(x @ lp["k"]["w"] + lp["k"]["b"], cfg.num_heads)
         v = split_heads(x @ lp["v"]["w"] + lp["v"]["b"], cfg.num_heads)
@@ -263,6 +292,25 @@ def apply(params: dict, cfg: Wav2Vec2Config, audio: jnp.ndarray,
         h = jax.nn.gelu(x @ lp["ff1"]["w"] + lp["ff1"]["b"], approximate=False)
         h = h @ lp["ff2"]["w"] + lp["ff2"]["b"]
         x = _layer_norm(lp["ln2"], x + h, cfg.layer_norm_eps)
+        return x, None
+
+    layers = params["encoder_layers"]
+    if isinstance(layers, (list, tuple)):
+        # legacy per-layer storage (MTS_W2V2_STACKED=0): separate buffers,
+        # peak throughput, slow cold compile
+        for lp in layers:
+            x, _ = _encoder_layer(x, lp)
+    else:
+        # stacked [L, ...] storage. Fully inlined by default (unroll >=
+        # num_layers drops the while loop entirely — measured FASTER to
+        # compile than the loop form: 21 s vs 107 s at unroll=1, and
+        # ~82 vs ~78 audio-min/s to run; see _stack_layers).
+        import os
+
+        unroll = int(
+            os.environ.get("MTS_W2V2_SCAN_UNROLL", str(cfg.num_layers))
+        )
+        x, _ = jax.lax.scan(_encoder_layer, x, layers, unroll=unroll)
     return x
 
 
@@ -334,6 +382,8 @@ def convert_torch_state_dict(sd: dict, cfg: Wav2Vec2Config) -> dict:
                 },
             }
         )
+    if _stacked_storage():
+        p["encoder_layers"] = _stack_layers(p["encoder_layers"])
     return p
 
 

@@ -92,3 +92,30 @@ def test_masked_batch_matches_separate(torch_pair):
     t2 = W.feature_extractor_output_length(cfg, 1100)
     np.testing.assert_allclose(out[0, :t1], solo1[0, :t1], atol=2e-4)
     np.testing.assert_allclose(out[1, :t2], solo2[0, :t2], atol=2e-4)
+
+
+def test_stacked_matches_list_storage(torch_pair, monkeypatch):
+    """Stacked [L, ...] layer storage (the fast-compile default) must be
+    numerically identical to legacy per-layer list storage, for every
+    scan-unroll setting."""
+    model, cfg = torch_pair
+    cfg = W.Wav2Vec2Config(
+        **{**cfg.__dict__, "num_groupnorm_groups": cfg.conv_dim[0], "do_normalize": False}
+    )
+
+    monkeypatch.setenv("MTS_W2V2_STACKED", "0")
+    params_list = W.convert_torch_state_dict(model.state_dict(), cfg)
+    assert isinstance(params_list["encoder_layers"], list)
+
+    monkeypatch.setenv("MTS_W2V2_STACKED", "1")
+    params_stacked = W.convert_torch_state_dict(model.state_dict(), cfg)
+    assert params_stacked["encoder_layers"]["q"]["w"].shape[0] == cfg.num_layers
+
+    rng = np.random.default_rng(2)
+    audio = rng.standard_normal((2, 1600)).astype(np.float32)
+
+    ref = np.asarray(W.apply(params_list, cfg, jnp.asarray(audio)))
+    for unroll in ("1", "2", str(cfg.num_layers)):
+        monkeypatch.setenv("MTS_W2V2_SCAN_UNROLL", unroll)
+        out = np.asarray(W.apply(params_stacked, cfg, jnp.asarray(audio)))
+        np.testing.assert_allclose(out, ref, atol=1e-5)
