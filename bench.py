@@ -12,15 +12,23 @@ serial per unit).
 
 Falls back to the training-step throughput metric if the predict path fails.
 
-Output contract (the driver parses the LAST stdout line as JSON): the
-headline record {"metric", "value", "unit", "vs_baseline", baseline fields,
-predict MFU} is printed the moment the wav2vec2 measurement lands, so a
-harness timeout after that point still captures it; the slower extras
-(train-step regression guard, MFCC side-bench) then print ONE enriched
-record as a second JSON line. Progress goes to stderr only. The serial-CPU
-torch baseline runs in a host thread overlapped with the TPU compile, and
-its own measured throughput/sample size are recorded so vs_baseline drift
-is attributable to the baseline host (VERDICT r3 weakness #2).
+Output contract (the driver parses the LAST stdout line as JSON), three
+JSON lines in increasing authority — each overrides the previous, so a
+harness timeout at ANY point after ~60 s still finds a parseable,
+honestly-labeled record:
+  1. a provisional MFCC-path record (small compile; "provisional": true),
+  2. the headline record {"metric", "value", "unit", "vs_baseline",
+     baseline fields, predict MFU} the moment the wav2vec2 measurement
+     lands,
+  3. ONE enriched record after the slower extras (train-step regression
+     guard, baseline re-measure).
+Progress goes to stderr with elapsed timestamps. The serial-CPU torch
+baseline runs in a host thread overlapped with the TPU compile, and its
+own measured throughput/sample size are recorded so vs_baseline drift is
+attributable to the baseline host (VERDICT r3 weakness #2). The remote
+compile server's queue is erratic (same-HLO compiles measured 21 s to
+500+ s apart within an hour) — that, not the measurement itself, is what
+the staged records defend against.
 """
 import json
 import time
@@ -302,8 +310,10 @@ def main():
     import sys
     import threading
 
+    t_start = time.time()
+
     def _log(msg):
-        print(msg, file=sys.stderr, flush=True)
+        print(f"[{time.time() - t_start:7.1f}s] {msg}", file=sys.stderr, flush=True)
 
     # The serial HF-torch CPU baseline (~1-2 min) overlaps the TPU-side
     # compiles: the host is idle while the remote backend compiles, so the
@@ -317,16 +327,45 @@ def main():
         except Exception as e:  # noqa: BLE001
             base["error"] = str(e)
         base["wall_s"] = time.time() - t0
+        _log(f"wav2vec2 serial-CPU baseline done ({base})")
 
-    t_start = time.time()
     bt = threading.Thread(target=_baseline_worker, daemon=True)
     bt.start()
 
+    # Fail-safe provisional record FIRST: the MFCC-path pipeline compiles a
+    # far smaller program than the wav2vec2 encoder, so when the remote
+    # compile server is slow (queue times for the SAME HLO measured 21 s to
+    # 500+ s within one hour — docs/PERFORMANCE.md) a driver timeout still
+    # finds a parseable, honestly-labeled measurement on stdout. Later JSON
+    # lines override it (the driver parses the LAST line).
+    mfcc_v = mfcc_b = None
     try:
+        _log("provisional: compiling+measuring the MFCC predict path")
+        mfcc_v = _retry(bench_predict_tpu)
+        mfcc_b = bench_predict_cpu_baseline()
+        print(
+            json.dumps(
+                {
+                    "metric": "predict_mfcc_audio_min_per_sec",
+                    "value": round(mfcc_v, 2),
+                    "unit": "audio-min/s",
+                    "vs_baseline": round(mfcc_v / mfcc_b, 2),
+                    "provisional": True,
+                }
+            ),
+            flush=True,
+        )
+        _log(f"provisional mfcc record out ({mfcc_v:.2f} audio-min/s)")
+    except Exception as e:  # noqa: BLE001
+        _log(f"mfcc provisional failed ({e})")
+
+    try:
+        _log("headline: compiling+measuring the wav2vec2 predict path")
         # headline: the neural-encoder (wav2vec2) predict path — the
         # flagship BASELINE.md configuration and the reference's dominant
         # inference cost
         value = _retry(bench_predict_wav2vec_tpu)
+        _log(f"headline measured: {value:.2f} audio-min/s")
     except Exception as e:  # noqa: BLE001
         _log(f"predict-path bench failed ({e}); falling back")
         value, _dt, _fl = bench_train_step()
@@ -396,6 +435,7 @@ def main():
 
     # train-path regression guard: flagship grad-step throughput + MFU
     try:
+        _log("extras: compiling+measuring the flagship train step")
         t_units, t_step, t_flops = _retry(bench_train_step)
         record["train_units_per_sec"] = round(t_units, 0)
         record["train_step_ms"] = round(t_step * 1e3, 2)
@@ -407,23 +447,22 @@ def main():
     except Exception as e:  # noqa: BLE001
         _log(f"train side-bench failed ({e})")
 
-    try:
-        mfcc_v = bench_predict_tpu()
-        mfcc_b = bench_predict_cpu_baseline()
+    # mfcc side-bench: measured up front for the provisional record; fold
+    # the numbers into the enriched record here
+    if mfcc_v is not None and mfcc_b is not None:
         _log(
             f"mfcc_path: {mfcc_v:.2f} audio-min/s "
             f"({mfcc_v / mfcc_b:.2f}x serial-CPU baseline)"
         )
         record["mfcc_audio_min_per_sec"] = round(mfcc_v, 2)
         enriched = True
-    except Exception as e:  # noqa: BLE001
-        _log(f"mfcc side-bench failed ({e})")
 
     # The first baseline ran concurrently with the TPU dispatches; re-measure
     # it on the now-quiet host and use the FASTER of the two samples for the
     # ratio — conservative for us, and both raw samples stay in the record so
     # the historical 900-1300x drift is attributable to baseline-host noise.
     try:
+        _log("extras: re-measuring the serial-CPU baseline on the quiet host")
         t0 = time.time()
         b2 = bench_predict_wav2vec_cpu_baseline()
         record["baseline_audio_min_per_sec_serial"] = round(b2, 4)
