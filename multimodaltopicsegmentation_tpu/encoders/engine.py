@@ -97,9 +97,22 @@ class Wav2Vec2Encoder:
         units, lens = _pad_units(audio, bounds)
         outs: List[np.ndarray] = []
         for i in range(0, len(bounds), chunk):
-            u = jnp.asarray(units[i : i + chunk])
-            l = jnp.asarray(lens[i : i + chunk])
-            frames = np.asarray(self._apply(self.params, u, l))
+            u = units[i : i + chunk]
+            l = lens[i : i + chunk]
+            nb = u.shape[0]
+            # Bucket the ragged tail chunk up to a multiple of 32 rows so a
+            # corpus compiles O(1) encoder programs instead of one per
+            # distinct tail size — each extra compile of the wav2vec2
+            # program costs 20 s to minutes on the remote-compile tunnel,
+            # vs ~0.2 ms/row of padded compute. Padded rows have length 0
+            # (fully masked; finite outputs) and are dropped below.
+            nbb = min(chunk, 32 * ((nb + 31) // 32))
+            if nbb != nb:
+                u = np.concatenate([u, np.zeros((nbb - nb, u.shape[1]), u.dtype)])
+                l = np.concatenate([l, np.zeros((nbb - nb,), l.dtype)])
+            frames = np.asarray(
+                self._apply(self.params, jnp.asarray(u), jnp.asarray(l))
+            )[:nb]
             for row, n in zip(frames, lens[i : i + chunk]):
                 t = self._W.feature_extractor_output_length(self.cfg, int(n))
                 outs.append(row[: max(t, 1)])

@@ -52,12 +52,14 @@ def test_wav2vec_engine_chunking(monkeypatch):
     rng = np.random.default_rng(0)
     audio = rng.standard_normal(4000).astype(np.float32)
     bounds = [(0, 1000), (1000, 2500), (2500, 4000)]
-    out1 = enc.encode_document(audio, bounds, chunk=2)
-    out2 = enc.encode_document(audio, bounds, chunk=8)
+    out1 = enc.encode_document(audio, bounds, chunk=2)  # tail: 1 row -> padded to 2
+    out2 = enc.encode_document(audio, bounds, chunk=8)  # one call, 3 rows -> bucket 8
     assert len(out1) == 3
     for a, b, (s, e) in zip(out1, out2, bounds):
         assert a.shape == b.shape
         assert a.shape[0] == W.feature_extractor_output_length(enc.cfg, e - s)
+        # zero-length bucket-padding rows must not perturb real units
+        np.testing.assert_allclose(a, b, atol=2e-5)
         np.testing.assert_allclose(a, b, atol=2e-4)
 
 
