@@ -483,7 +483,27 @@ class Trainer:
                         self._extra(batch),
                     )
                     train_losses.append(loss)
-                batch_losses = [float(l) for l in train_losses]
+                # queue the validation evals behind the train steps, then
+                # drain the per-epoch scalars in batched device->host
+                # transfers: each individual float() is a full tunnel round
+                # trip (~30 ms), so per-batch pulls dominate epoch wall-clock
+                # at small batch counts (scripts/bench_fit_epoch.py). Train
+                # and val losses are pulled separately — they come from
+                # different jit programs whose output shardings may differ
+                # under a mesh, and eager jnp.stack requires colocation.
+                val_device, weights = [], []
+                if valid_batches:
+                    ev = self._eval_loss()
+                    for batch in valid_batches:
+                        val_device.append(ev(
+                            params,
+                            jnp.asarray(batch["src_tokens"]),
+                            jnp.asarray(batch["src_lengths"]),
+                            jnp.asarray(batch["tgt_tokens"]),
+                            self._extra(batch),
+                        ))
+                        weights.append(batch.get("n_real", len(batch["src_lengths"])))
+                batch_losses = [float(l) for l in np.asarray(jnp.stack(train_losses))]
                 if self.detect_anomaly and not all(np.isfinite(batch_losses)):
                     bad = int(np.flatnonzero(~np.isfinite(batch_losses))[0])
                     raise FloatingPointError(
@@ -495,18 +515,7 @@ class Trainer:
                 train_loss = float(np.mean(batch_losses))
 
                 if valid_batches:
-                    val_losses, weights = [], []
-                    for batch in valid_batches:
-                        ev = self._eval_loss()
-                        l = ev(
-                            params,
-                            jnp.asarray(batch["src_tokens"]),
-                            jnp.asarray(batch["src_lengths"]),
-                            jnp.asarray(batch["tgt_tokens"]),
-                            self._extra(batch),
-                        )
-                        val_losses.append(float(l))
-                        weights.append(batch.get("n_real", len(batch["src_lengths"])))
+                    val_losses = np.asarray(jnp.stack(val_device))
                     val_loss = float(np.average(val_losses, weights=weights))
                 else:
                     val_loss = None
