@@ -579,14 +579,19 @@ class Trainer:
         decode = None
         per_doc, all_scores = [], []
 
+        # dispatch every batch's decode BEFORE pulling any result: the
+        # per-document metric math below is host-bound, and interleaving
+        # it with the pulls would idle the device between batches (decode
+        # outputs are [B,L(,C)] — trivially small to keep resident)
+        pending = []
         for batch in test_batches:
             if self.seq_mesh is not None:
                 batch = self._pad_unit_axis(batch)
             src = jnp.asarray(batch["src_tokens"])
             lengths = jnp.asarray(batch["src_lengths"])
             if self.zero_baseline:
-                scores_np = np.zeros(batch["src_tokens"].shape[:2], np.float32)
-                tags_np = np.zeros(batch["src_tokens"].shape[:2], bool)
+                scores = np.zeros(batch["src_tokens"].shape[:2], np.float32)
+                tags = np.zeros(batch["src_tokens"].shape[:2], bool)
             else:
                 if decode is None:
                     arch = self.arch
@@ -622,8 +627,11 @@ class Trainer:
                     scores, tags = decode(params, src, lengths, jnp.asarray(batch["src_tokens2"]))
                 else:
                     scores, tags = decode(params, src, lengths)
-                scores_np = np.asarray(scores)
-                tags_np = np.asarray(tags)
+            pending.append((batch, scores, tags))
+
+        for batch, scores, tags in pending:
+            scores_np = np.asarray(scores)
+            tags_np = np.asarray(tags)
 
             for i in range(batch.get("n_real", len(batch["src_lengths"]))):
                 L = int(batch["src_lengths"][i])
@@ -725,7 +733,9 @@ class Trainer:
             decode_scores = jax.jit(lambda p, x, l, x2: arch.decode(p, x, l, 0.5, x2=x2)[0])
         else:
             decode_scores = jax.jit(lambda p, x, l: arch.decode(p, x, l, 0.5)[0])
-        docs = []
+        # dispatch all batches, then drain (same device-idle rationale as
+        # test() — ndim for the CRF early-out is shape metadata, no pull)
+        pending = []
         for batch in valid_batches:
             if self.seq_mesh is not None:
                 batch = self._pad_unit_axis(batch)
@@ -738,11 +748,15 @@ class Trainer:
                 args.append(jnp.asarray(batch["domain"]))
             elif self.double:
                 args.append(jnp.asarray(batch["src_tokens2"]))
-            scores = np.asarray(decode_scores(*args))
-            if scores.ndim == 1:
+            dev_scores = decode_scores(*args)
+            if dev_scores.ndim == 1:
                 # CRF decode: one Viterbi score per doc, no threshold to
                 # search — keep the reference default
                 return 0.5, float("nan")
+            pending.append((batch, dev_scores))
+        docs = []
+        for batch, dev_scores in pending:
+            scores = np.asarray(dev_scores)
             for i in range(batch.get("n_real", len(batch["src_lengths"]))):
                 L = int(batch["src_lengths"][i])
                 s = scores[i][:L]  # [L, C] head logits (C=1 sigmoid heads)
@@ -813,7 +827,8 @@ class Trainer:
             decode = jax.jit(lambda p, x, l, x2: arch.decode(p, x, l, threshold, x2=x2))
         else:
             decode = jax.jit(lambda p, x, l: arch.decode(p, x, l, threshold))
-        out = []
+        # dispatch-all-then-drain, as in test()
+        pending = []
         for batch in batches:
             if self.seq_mesh is not None:
                 batch = self._pad_unit_axis(batch)
@@ -827,6 +842,9 @@ class Trainer:
             elif self.double:
                 args.append(jnp.asarray(batch["src_tokens2"]))
             scores, tags = decode(*args)
+            pending.append((batch, tags))
+        out = []
+        for batch, tags in pending:
             tags_np = np.asarray(tags)
             for i in range(batch.get("n_real", len(batch["src_lengths"]))):
                 L = int(batch["src_lengths"][i])
