@@ -303,15 +303,11 @@ class Predictor(BasePredictor):
                 ]
                 # identical pad_batch arguments to `chunk` above so both
                 # modalities bucket to the same padded length (unit counts
-                # are validated equal per document)
-                batch2 = pad_batch(
-                    chunk2,
-                    crf=False,
-                    bucket=True,
-                    pad_batch_to=batch_size
-                    if (multi and len(chunk2) < batch_size)
-                    else None,
-                )
+                # are validated equal per document; `multi` is always False
+                # here — the sharded path excludes double-input mode — so
+                # neither chunk gets batch-axis padding)
+                batch2 = pad_batch(chunk2, crf=False, bucket=True,
+                                   pad_batch_to=None)
                 scores, tags = decode(
                     self.params,
                     jnp.asarray(batch["src_tokens"]),

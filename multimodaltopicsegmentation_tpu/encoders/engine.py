@@ -36,7 +36,7 @@ class ProsodicEncoder:
     def encode_document(self, audio, bounds, chunk=256):
         from ..dsp.prosody import prosodic_features
 
-        units, lens = _pad_units(audio, bounds)
+        units, lens = _pad_units(audio, bounds, bucket=True)
         outs = []
         i = 0
         while i < len(bounds):
@@ -58,7 +58,7 @@ class MFCCEncoder:
     def encode_document(self, audio, bounds, chunk=256):
         from ..dsp.prosody import mfcc_features
 
-        units, lens = _pad_units(audio, bounds)
+        units, lens = _pad_units(audio, bounds, bucket=True)
         outs = []
         for i in range(0, len(bounds), chunk):
             feats = np.asarray(
@@ -94,7 +94,7 @@ class Wav2Vec2Encoder:
         self._W = W
 
     def encode_document(self, audio, bounds, chunk=256):
-        units, lens = _pad_units(audio, bounds)
+        units, lens = _pad_units(audio, bounds, bucket=True)
         outs: List[np.ndarray] = []
         for i in range(0, len(bounds), chunk):
             u = units[i : i + chunk]

@@ -346,7 +346,7 @@ def _fbank_batch(n_mels: int):
 
 
 def _encode_pooled(enc, audio, bounds, chunk, n_mels):
-    units, lens = pad_units(audio, bounds)
+    units, lens = pad_units(audio, bounds, bucket=True)
     outs = []
     fb = _fbank_batch(n_mels)
     for i in range(0, len(bounds), chunk):

@@ -82,6 +82,11 @@ def infer_architecture(sd: dict) -> str:
         # the only reachable configuration: TextSegmenter never passes
         # `restricted`, lightning_model.py:212) or a BertModel
         return "Transformer"
+    if any(re.match(r"model\.\d+\.(lstm|transformer)\.", k) for k in sd):
+        # RecurrentLongformer's ModuleList of blocks (CRF.py:764-858) — the
+        # LongT5 variant was caught above by its .LocalSelfAttention. keys,
+        # so what remains routes to the curated not-convertible error
+        return "RecurrentLongformer"
     if any(k.startswith("crf.") for k in sd):
         if any(k.startswith("model.transformer_encoder.") for k in sd):
             return "Transformer-CRF"

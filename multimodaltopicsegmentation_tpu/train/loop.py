@@ -503,7 +503,12 @@ class Trainer:
                             self._extra(batch),
                         ))
                         weights.append(batch.get("n_real", len(batch["src_lengths"])))
-                batch_losses = [float(l) for l in np.asarray(jnp.stack(train_losses))]
+                # empty-fold guard: fit([]) must keep the pre-batching
+                # behavior (mean of [] -> nan, epoch proceeds on val loss)
+                batch_losses = (
+                    [float(l) for l in np.asarray(jnp.stack(train_losses))]
+                    if train_losses else []
+                )
                 if self.detect_anomaly and not all(np.isfinite(batch_losses)):
                     bad = int(np.flatnonzero(~np.isfinite(batch_losses))[0])
                     raise FloatingPointError(

@@ -27,7 +27,6 @@ def main():
     from multimodaltopicsegmentation_tpu.train.loop import Trainer
 
     B, L, D = 10, 512, 768
-    rng = np.random.default_rng(0)
 
     def batch(seed):
         r = np.random.default_rng(seed)

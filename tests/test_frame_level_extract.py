@@ -60,7 +60,6 @@ def test_wav2vec_engine_chunking(monkeypatch):
         assert a.shape[0] == W.feature_extractor_output_length(enc.cfg, e - s)
         # zero-length bucket-padding rows must not perturb real units
         np.testing.assert_allclose(a, b, atol=2e-5)
-        np.testing.assert_allclose(a, b, atol=2e-4)
 
 
 @pytest.mark.slow
@@ -91,3 +90,56 @@ def test_continue_from_check_frame_level(tmp_path, monkeypatch):
     second = {f: os.path.getmtime(os.path.join(mean_dir, f))
               for f in os.listdir(mean_dir)}
     assert first == second
+
+
+def test_bucket_samples_grid():
+    """Ragged doc maxes quantize STRICTLY up onto an O(log)-sized grid
+    (every unit lands in the padded regime); uniform documents bypass
+    bucketing entirely in pad_units (the 1-second-unit predict contract
+    keeps its exact compiled shape)."""
+    from multimodaltopicsegmentation_tpu.encoders.engine_util import (
+        bucket_samples,
+        pad_units,
+    )
+
+    # strictly greater, within 12.5% + one quantum, onto a shared grid
+    for s in (3999, 4000, 4001, 9573, 16000, 17371, 111111):
+        b = bucket_samples(s)
+        assert b > s and b <= -(-s * 9) // 8 + 4000
+    # grid is shared: everything in a bucket maps to one value
+    assert bucket_samples(17000) == bucket_samples(17371)
+    # the whole plausible VAD range (0.25 s .. 30 s) yields few programs
+    grid = {bucket_samples(s) for s in range(4001, 480000, 997)}
+    assert len(grid) < 45
+
+    # uniform document: exact shape, no bucketing
+    audio = np.zeros(64000, np.float32)
+    u, l = pad_units(audio, [(0, 16000), (16000, 32000)], bucket=True)
+    assert u.shape[1] == 16000
+    # ragged document: bucketed strictly above the max
+    u, l = pad_units(audio, [(0, 9573), (9573, 27000)], bucket=True)
+    assert u.shape[1] == bucket_samples(17427) > 17427
+
+
+def test_mfcc_encoder_bucketing_invariance():
+    """Within the padded regime the MFCC encoder's unit features are
+    invariant to HOW FAR the S axis is bucket-padded (frame-masked
+    features; the strict round-up puts every ragged unit there)."""
+    from multimodaltopicsegmentation_tpu.encoders.engine import MFCCEncoder
+    from multimodaltopicsegmentation_tpu.encoders import engine_util
+
+    rng = np.random.default_rng(0)
+    audio = rng.standard_normal(16000 * 4).astype(np.float32) * 0.1
+    bounds = [(0, 9573), (9573, 26000), (26000, 43371)]  # ragged; max 17371
+    enc = MFCCEncoder()
+    out_bucketed = enc.encode_document(audio, bounds)
+
+    orig = engine_util.bucket_samples
+    try:
+        # a different (coarser) grid must not perturb any unit's features
+        engine_util.bucket_samples = lambda S, sr=16000: orig(orig(S))
+        out_coarser = enc.encode_document(audio, bounds)
+    finally:
+        engine_util.bucket_samples = orig
+    for a, b in zip(out_bucketed, out_coarser):
+        np.testing.assert_allclose(a, b, atol=2e-5)
