@@ -164,9 +164,17 @@ def pallas_local_attention(q, k, v, window: int, mask=None, interpret: bool = Fa
 # ---------------------------------------------------------------------------
 
 
+
 def _flash_fwd_kernel(len_ref, q_ref, km_ref, ks_ref, kp_ref, vm_ref, vs_ref,
-                      vp_ref, out_ref, lse_ref, *, half: int, block: int,
-                      scale: float, bf16: bool):
+                      vp_ref, *refs, half: int, block: int, scale: float,
+                      bf16: bool):
+    """Shared forward kernel; a bias ref is threaded in when the caller is
+    the biased (LongT5-family) entry — `refs` is (bias, out, lse) then,
+    (out, lse) otherwise (the in/out ref order follows the specs)."""
+    if len(refs) == 3:
+        bias_ref, out_ref, lse_ref = refs
+    else:
+        (out_ref, lse_ref), bias_ref = refs, None
     i = pl.program_id(0)
     j = pl.program_id(1)
     length = len_ref[i]
@@ -184,6 +192,8 @@ def _flash_fwd_kernel(len_ref, q_ref, km_ref, ks_ref, kp_ref, vm_ref, vs_ref,
     s = jnp.concatenate(
         [scores_for(km_ref, -block), scores_for(ks_ref, 0),
          scores_for(kp_ref, block)], axis=-1)
+    if bias_ref is not None:
+        s = s + bias_ref[0]
     m = jnp.max(s, axis=-1, keepdims=True)
     e = jnp.exp(s - m)
     l = jnp.maximum(jnp.sum(e, axis=-1, keepdims=True), 1e-20)
@@ -196,6 +206,15 @@ def _flash_fwd_kernel(len_ref, q_ref, km_ref, ks_ref, kp_ref, vm_ref, vs_ref,
     )
     out_ref[0] = out.astype(out_ref.dtype)
     lse_ref[0] = m + jnp.log(l)
+
+
+# The dq kernels are the one pair that stays separate: the biased variant
+# also produces dbias, which forces an h-major (H, B, nb) grid so each
+# head's dbias tile is revisited by CONSECUTIVE grid steps and accumulates
+# in VMEM — a different program-id layout, init-once epilogue, and output
+# list than the plain 2D dq kernel. Folding them would braid two grid
+# geometries through one body for no shared code beyond what scores_for
+# already factors.
 
 
 def _flash_dq_kernel(len_ref, q_ref, km_ref, ks_ref, kp_ref, vm_ref, vs_ref,
@@ -225,217 +244,6 @@ def _flash_dq_kernel(len_ref, q_ref, km_ref, ks_ref, kp_ref, vm_ref, vs_ref,
         ds = p * (dp - dd)
         acc = acc + _dot(ds, k_ref[0], bf16)
     dq_ref[0] = (scale * acc).astype(dq_ref.dtype)
-
-
-def _flash_dkv_kernel(len_ref, k_ref, v_ref, qm_ref, qs_ref, qp_ref, dom_ref,
-                      dos_ref, dop_ref, lsem_ref, lses_ref, lsep_ref, ddm_ref,
-                      dds_ref, ddp_ref, dk_ref, dv_ref, *, half: int,
-                      block: int, scale: float, bf16: bool):
-    i = pl.program_id(0)
-    j = pl.program_id(1)
-    length = len_ref[i]
-    kbase = j * block
-
-    k = k_ref[0]
-    v = v_ref[0]
-    kpos_row = lax.broadcasted_iota(jnp.int32, (block, block), 1) + kbase
-    dk = jnp.zeros((block, k.shape[-1]), jnp.float32)
-    dv = jnp.zeros((block, v.shape[-1]), jnp.float32)
-    for q_ref, do_ref, lse_ref, dd_ref, qoffset in (
-        (qm_ref, dom_ref, lsem_ref, ddm_ref, -block),
-        (qs_ref, dos_ref, lses_ref, dds_ref, 0),
-        (qp_ref, dop_ref, lsep_ref, ddp_ref, block),
-    ):
-        q = q_ref[0]
-        do = do_ref[0].astype(jnp.float32)
-        lse = lse_ref[0]
-        dd = dd_ref[0]
-        qpos = lax.broadcasted_iota(jnp.int32, (block, block), 0) + kbase + qoffset
-        ok = (
-            (jnp.abs(kpos_row - qpos) <= half)
-            & (kpos_row < length)
-            & (qpos >= 0)
-            & (qpos < length)
-        )
-        s = scale * _dot(q, k.T, bf16)
-        p = jnp.where(ok, jnp.exp(s - lse), 0.0)  # [bq, bk]
-        dv = dv + _dot(p.T, do, bf16)
-        dp = _dot(do, v.T, bf16)
-        ds = p * (dp - dd)
-        dk = dk + _dot(ds.T, q, bf16)
-    dk_ref[0] = (scale * dk).astype(dk_ref.dtype)
-    dv_ref[0] = dv.astype(dv_ref.dtype)
-
-
-def _flash_geometry(L: int, half: int):
-    # Query-block quantum: correctness needs only block >= half (the 3-block
-    # neighborhood must cover |i-j| <= half) and sublane alignment (%8).
-    # MTS_FLASH_BLOCK_QUANT widens the rounding (e.g. 128 to lane-align the
-    # [block, 3*block] score tile) — an A/B knob, default 8.
-    import os
-
-    quant = int(os.environ.get("MTS_FLASH_BLOCK_QUANT", "8"))
-    block = max(-(-half // quant) * quant, 8)
-    nb = -(-L // block)
-    return block, nb, nb * block - L
-
-
-def _flash_prep(x, pad, B, H, nb, block, Dh):
-    x = jnp.pad(x, ((0, 0), (0, 0), (0, pad), (0, 0)))
-    return x.reshape(B * H, nb * block, Dh)
-
-
-def _flash_fwd_impl(q, k, v, mask, window: int, interpret: bool):
-    B, H, L, Dh = q.shape
-    half = window // 2
-    block, nb, pad = _flash_geometry(L, half)
-    lengths = jnp.repeat(jnp.sum(mask.astype(jnp.int32), axis=1), H)
-
-    qf = _flash_prep(q, pad, B, H, nb, block, Dh)
-    kf = _flash_prep(k, pad, B, H, nb, block, Dh)
-    vf = _flash_prep(v, pad, B, H, nb, block, Dh)
-
-    def idx(fn):
-        return lambda i, j, lens: (i, fn(j), 0)
-
-    prev = lambda j: jnp.maximum(j - 1, 0)
-    self_ = lambda j: j
-    nxt = lambda j: jnp.minimum(j + 1, nb - 1)
-    blk = lambda fn: pl.BlockSpec((1, block, Dh), idx(fn))
-    stat = lambda fn: pl.BlockSpec((1, block, 1), idx(fn))
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(B * H, nb),
-        in_specs=[blk(self_), blk(prev), blk(self_), blk(nxt),
-                  blk(prev), blk(self_), blk(nxt)],
-        out_specs=[blk(self_), stat(self_)],
-    )
-    out, lse = pl.pallas_call(
-        functools.partial(_flash_fwd_kernel, half=half, block=block,
-                          scale=1.0 / math.sqrt(Dh), bf16=_flash_bf16()),
-        grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((B * H, nb * block, Dh), q.dtype),
-            jax.ShapeDtypeStruct((B * H, nb * block, 1), jnp.float32),
-        ],
-        interpret=interpret,
-    )(lengths, qf, kf, kf, kf, vf, vf, vf)
-    return out.reshape(B, H, nb * block, Dh)[:, :, :L], lse
-
-
-def _flash_bwd_impl(q, k, v, mask, out, lse, do, window: int, interpret: bool):
-    B, H, L, Dh = q.shape
-    half = window // 2
-    block, nb, pad = _flash_geometry(L, half)
-    lengths = jnp.repeat(jnp.sum(mask.astype(jnp.int32), axis=1), H)
-
-    qf = _flash_prep(q, pad, B, H, nb, block, Dh)
-    kf = _flash_prep(k, pad, B, H, nb, block, Dh)
-    vf = _flash_prep(v, pad, B, H, nb, block, Dh)
-    dof = _flash_prep(do, pad, B, H, nb, block, Dh)
-    # D_i = rowsum(dO * O): one cheap fused elementwise pass in XLA
-    dd = jnp.pad(jnp.sum(do * out, axis=-1), ((0, 0), (0, 0), (0, pad)))
-    dd = dd.reshape(B * H, nb * block, 1).astype(jnp.float32)
-
-    def idx(fn):
-        return lambda i, j, lens: (i, fn(j), 0)
-
-    prev = lambda j: jnp.maximum(j - 1, 0)
-    self_ = lambda j: j
-    nxt = lambda j: jnp.minimum(j + 1, nb - 1)
-    blk = lambda fn: pl.BlockSpec((1, block, Dh), idx(fn))
-    stat = lambda fn: pl.BlockSpec((1, block, 1), idx(fn))
-    scale = 1.0 / math.sqrt(Dh)
-
-    dq_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(B * H, nb),
-        in_specs=[blk(self_), blk(prev), blk(self_), blk(nxt),
-                  blk(prev), blk(self_), blk(nxt),
-                  blk(self_), stat(self_), stat(self_)],
-        out_specs=blk(self_),
-    )
-    dq = pl.pallas_call(
-        functools.partial(_flash_dq_kernel, half=half, block=block,
-                          scale=scale, bf16=_flash_bf16()),
-        grid_spec=dq_spec,
-        out_shape=jax.ShapeDtypeStruct((B * H, nb * block, Dh), q.dtype),
-        interpret=interpret,
-    )(lengths, qf, kf, kf, kf, vf, vf, vf, dof, lse, dd)
-
-    dkv_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(B * H, nb),
-        in_specs=[blk(self_), blk(self_),
-                  blk(prev), blk(self_), blk(nxt),
-                  blk(prev), blk(self_), blk(nxt),
-                  stat(prev), stat(self_), stat(nxt),
-                  stat(prev), stat(self_), stat(nxt)],
-        out_specs=[blk(self_), blk(self_)],
-    )
-    dk, dv = pl.pallas_call(
-        functools.partial(_flash_dkv_kernel, half=half, block=block,
-                          scale=scale, bf16=_flash_bf16()),
-        grid_spec=dkv_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((B * H, nb * block, Dh), k.dtype),
-            jax.ShapeDtypeStruct((B * H, nb * block, Dh), v.dtype),
-        ],
-        interpret=interpret,
-    )(lengths, kf, vf, qf, qf, qf, dof, dof, dof, lse, lse, lse, dd, dd, dd)
-
-    unflat = lambda x: x.reshape(B, H, nb * block, Dh)[:, :, :L]
-    return unflat(dq), unflat(dk), unflat(dv)
-
-
-# ---------------------------------------------------------------------------
-# Biased flash variant (LongT5-family): same streaming-softmax scheme plus a
-# TRANSLATION-INVARIANT additive bias tile [H, block, 3*block] (T5 relative-
-# position bias depends only on the offset j-i, so one tile serves every
-# query block). The tile is an ordinary differentiable input: its gradient is
-# the banded score gradient summed over batch and query blocks, accumulated
-# in VMEM by the dq kernel over an h-major grid (H, B, nb) — consecutive
-# grid steps revisit the same head's dbias block, so the accumulation never
-# round-trips HBM. Covers the reference's LongT5 local attention
-# (/root/reference/models/RestrictedTransformerLayer.py:147-159) with
-# scale=False semantics.
-# ---------------------------------------------------------------------------
-
-
-def _flash_biased_fwd_kernel(len_ref, q_ref, km_ref, ks_ref, kp_ref, vm_ref,
-                             vs_ref, vp_ref, bias_ref, out_ref, lse_ref, *,
-                             half: int, block: int, scale: float, bf16: bool):
-    i = pl.program_id(0)
-    j = pl.program_id(1)
-    length = len_ref[i]
-    qbase = j * block
-
-    q = q_ref[0] * scale
-    qpos = lax.broadcasted_iota(jnp.int32, (block, block), 0) + qbase
-
-    def scores_for(k_ref, koffset):
-        kpos = lax.broadcasted_iota(jnp.int32, (block, block), 1) + qbase + koffset
-        ok = (jnp.abs(kpos - qpos) <= half) & (kpos >= 0) & (kpos < length)
-        s = _dot(q, k_ref[0].T, bf16)
-        return jnp.where(ok, s, NEG_INF)
-
-    s = jnp.concatenate(
-        [scores_for(km_ref, -block), scores_for(ks_ref, 0),
-         scores_for(kp_ref, block)], axis=-1)
-    s = s + bias_ref[0]
-    m = jnp.max(s, axis=-1, keepdims=True)
-    e = jnp.exp(s - m)
-    l = jnp.maximum(jnp.sum(e, axis=-1, keepdims=True), 1e-20)
-    w = e / l
-
-    out = (
-        _dot(w[:, :block], vm_ref[0], bf16)
-        + _dot(w[:, block : 2 * block], vs_ref[0], bf16)
-        + _dot(w[:, 2 * block :], vp_ref[0], bf16)
-    )
-    out_ref[0] = out.astype(out_ref.dtype)
-    lse_ref[0] = m + jnp.log(l)
 
 
 def _flash_biased_dq_kernel(len_ref, q_ref, km_ref, ks_ref, kp_ref, vm_ref,
@@ -476,11 +284,16 @@ def _flash_biased_dq_kernel(len_ref, q_ref, km_ref, ks_ref, kp_ref, vm_ref,
     dq_ref[0] = (scale * acc).astype(dq_ref.dtype)
 
 
-def _flash_biased_dkv_kernel(len_ref, k_ref, v_ref, qm_ref, qs_ref, qp_ref,
-                             dom_ref, dos_ref, dop_ref, lsem_ref, lses_ref,
-                             lsep_ref, ddm_ref, dds_ref, ddp_ref, bias_ref,
-                             dk_ref, dv_ref, *, half: int, block: int,
-                             scale: float, bf16: bool):
+def _flash_dkv_kernel(len_ref, k_ref, v_ref, qm_ref, qs_ref, qp_ref, dom_ref,
+                      dos_ref, dop_ref, lsem_ref, lses_ref, lsep_ref, ddm_ref,
+                      dds_ref, ddp_ref, *refs, half: int, block: int,
+                      scale: float, bf16: bool):
+    """Shared dk/dv kernel; `refs` is (bias, dk, dv) on the biased path,
+    (dk, dv) otherwise."""
+    if len(refs) == 3:
+        bias_ref, dk_ref, dv_ref = refs
+    else:
+        (dk_ref, dv_ref), bias_ref = refs, None
     i = pl.program_id(0)
     j = pl.program_id(1)
     length = len_ref[i]
@@ -508,10 +321,11 @@ def _flash_biased_dkv_kernel(len_ref, k_ref, v_ref, qm_ref, qs_ref, qp_ref,
             & (qpos < length)
         )
         s = scale * _dot(q, k.T, bf16)
-        # this key block sits at neighborhood slot `slot` of the q block at
-        # offset `qoffset` (slot = 1 - qoffset/block)
-        s = s + bias_ref[0, :, slot * block : (slot + 1) * block]
-        p = jnp.where(ok, jnp.exp(s - lse), 0.0)
+        if bias_ref is not None:
+            # this key block sits at neighborhood slot `slot` of the q block
+            # at offset `qoffset` (slot = 1 - qoffset/block)
+            s = s + bias_ref[0, :, slot * block : (slot + 1) * block]
+        p = jnp.where(ok, jnp.exp(s - lse), 0.0)  # [bq, bk]
         dv = dv + _dot(p.T, do, bf16)
         dp = _dot(do, v.T, bf16)
         ds = p * (dp - dd)
@@ -520,8 +334,40 @@ def _flash_biased_dkv_kernel(len_ref, k_ref, v_ref, qm_ref, qs_ref, qp_ref,
     dv_ref[0] = dv.astype(dv_ref.dtype)
 
 
-def _flash_biased_fwd_impl(q, k, v, mask, bias, window: int, scale: bool,
-                           interpret: bool):
+def _flash_geometry(L: int, half: int):
+    # Query-block quantum: correctness needs only block >= half (the 3-block
+    # neighborhood must cover |i-j| <= half) and sublane alignment (%8).
+    # MTS_FLASH_BLOCK_QUANT widens the rounding (e.g. 128 to lane-align the
+    # [block, 3*block] score tile) — an A/B knob, default 8.
+    import os
+
+    quant = int(os.environ.get("MTS_FLASH_BLOCK_QUANT", "8"))
+    block = max(-(-half // quant) * quant, 8)
+    nb = -(-L // block)
+    return block, nb, nb * block - L
+
+
+def _flash_prep(x, pad, B, H, nb, block, Dh):
+    x = jnp.pad(x, ((0, 0), (0, 0), (0, pad), (0, 0)))
+    return x.reshape(B * H, nb * block, Dh)
+
+
+def _flash_specs(block: int, nb: int, Dh: int):
+    """The (prev, self, next) neighborhood spec builders every flash
+    pallas_call shares: blk(fn) tiles [1, block, Dh] rows, stat(fn) the
+    [1, block, 1] lse/dd tracks (leading scalar-prefetch ref is passed to
+    index maps as first arg)."""
+    idx = lambda fn: (lambda i, j, lens: (i, fn(j), 0))
+    prev = lambda j: jnp.maximum(j - 1, 0)
+    self_ = lambda j: j
+    nxt = lambda j: jnp.minimum(j + 1, nb - 1)
+    blk = lambda fn: pl.BlockSpec((1, block, Dh), idx(fn))
+    stat = lambda fn: pl.BlockSpec((1, block, 1), idx(fn))
+    return prev, self_, nxt, blk, stat
+
+
+def _flash_fwd_impl(q, k, v, mask, window: int, interpret: bool, bias=None,
+                    scale: bool = True):
     B, H, L, Dh = q.shape
     half = window // 2
     block, nb, pad = _flash_geometry(L, half)
@@ -530,28 +376,24 @@ def _flash_biased_fwd_impl(q, k, v, mask, bias, window: int, scale: bool,
     qf = _flash_prep(q, pad, B, H, nb, block, Dh)
     kf = _flash_prep(k, pad, B, H, nb, block, Dh)
     vf = _flash_prep(v, pad, B, H, nb, block, Dh)
-    biasf = bias.astype(jnp.float32)
 
-    def idx(fn):
-        return lambda i, j, lens: (i, fn(j), 0)
-
-    prev = lambda j: jnp.maximum(j - 1, 0)
-    self_ = lambda j: j
-    nxt = lambda j: jnp.minimum(j + 1, nb - 1)
-    blk = lambda fn: pl.BlockSpec((1, block, Dh), idx(fn))
-    stat = lambda fn: pl.BlockSpec((1, block, 1), idx(fn))
-    bias_spec = pl.BlockSpec((1, block, 3 * block),
-                             lambda i, j, lens: (i % H, 0, 0))
+    prev, self_, nxt, blk, stat = _flash_specs(block, nb, Dh)
+    in_specs = [blk(self_), blk(prev), blk(self_), blk(nxt),
+                blk(prev), blk(self_), blk(nxt)]
+    operands = [qf, kf, kf, kf, vf, vf, vf]
+    if bias is not None:
+        in_specs.append(pl.BlockSpec((1, block, 3 * block),
+                                     lambda i, j, lens: (i % H, 0, 0)))
+        operands.append(bias.astype(jnp.float32))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(B * H, nb),
-        in_specs=[blk(self_), blk(prev), blk(self_), blk(nxt),
-                  blk(prev), blk(self_), blk(nxt), bias_spec],
+        in_specs=in_specs,
         out_specs=[blk(self_), stat(self_)],
     )
     out, lse = pl.pallas_call(
-        functools.partial(_flash_biased_fwd_kernel, half=half, block=block,
+        functools.partial(_flash_fwd_kernel, half=half, block=block,
                           scale=(1.0 / math.sqrt(Dh)) if scale else 1.0,
                           bf16=_flash_bf16()),
         grid_spec=grid_spec,
@@ -560,12 +402,13 @@ def _flash_biased_fwd_impl(q, k, v, mask, bias, window: int, scale: bool,
             jax.ShapeDtypeStruct((B * H, nb * block, 1), jnp.float32),
         ],
         interpret=interpret,
-    )(lengths, qf, kf, kf, kf, vf, vf, vf, biasf)
+    )(lengths, *operands)
     return out.reshape(B, H, nb * block, Dh)[:, :, :L], lse
 
 
-def _flash_biased_bwd_impl(q, k, v, mask, bias, out, lse, do, window: int,
-                           scale: bool, interpret: bool):
+def _flash_bwd_impl(q, k, v, mask, out, lse, do, window: int, interpret: bool,
+                    bias=None, scale: bool = True):
+    """Returns (dq, dk, dv) — plus dbias when `bias` is given."""
     B, H, L, Dh = q.shape
     half = window // 2
     block, nb, pad = _flash_geometry(L, half)
@@ -575,63 +418,79 @@ def _flash_biased_bwd_impl(q, k, v, mask, bias, out, lse, do, window: int,
     kf = _flash_prep(k, pad, B, H, nb, block, Dh)
     vf = _flash_prep(v, pad, B, H, nb, block, Dh)
     dof = _flash_prep(do, pad, B, H, nb, block, Dh)
-    biasf = bias.astype(jnp.float32)
+    # D_i = rowsum(dO * O): one cheap fused elementwise pass in XLA
     dd = jnp.pad(jnp.sum(do * out, axis=-1), ((0, 0), (0, 0), (0, pad)))
     dd = dd.reshape(B * H, nb * block, 1).astype(jnp.float32)
 
-    prev = lambda j: jnp.maximum(j - 1, 0)
-    self_ = lambda j: j
-    nxt = lambda j: jnp.minimum(j + 1, nb - 1)
+    prev, self_, nxt, blk, stat = _flash_specs(block, nb, Dh)
     sc = (1.0 / math.sqrt(Dh)) if scale else 1.0
 
-    # dq + dbias: h-major grid so each head's dbias block is revisited by
-    # consecutive steps and accumulates in VMEM (flat row = b*H + h)
-    dq_blk = lambda fn: pl.BlockSpec(
-        (1, block, Dh), lambda h, b, j, lens: (b * H + h, fn(j), 0))
-    dq_stat = lambda fn: pl.BlockSpec(
-        (1, block, 1), lambda h, b, j, lens: (b * H + h, fn(j), 0))
-    dq_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(H, B, nb),
-        in_specs=[dq_blk(self_), dq_blk(prev), dq_blk(self_), dq_blk(nxt),
-                  dq_blk(prev), dq_blk(self_), dq_blk(nxt),
-                  pl.BlockSpec((1, block, 3 * block),
-                               lambda h, b, j, lens: (h, 0, 0)),
-                  dq_blk(self_), dq_stat(self_), dq_stat(self_)],
-        out_specs=[dq_blk(self_),
-                   pl.BlockSpec((1, block, 3 * block),
-                                lambda h, b, j, lens: (h, 0, 0))],
-    )
-    dq, dbias = pl.pallas_call(
-        functools.partial(_flash_biased_dq_kernel, half=half, block=block,
-                          scale=sc, nheads=H, bf16=_flash_bf16()),
-        grid_spec=dq_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((B * H, nb * block, Dh), q.dtype),
-            jax.ShapeDtypeStruct((H, block, 3 * block), jnp.float32),
-        ],
-        interpret=interpret,
-    )(lengths, qf, kf, kf, kf, vf, vf, vf, biasf, dof, lse, dd)
+    if bias is None:
+        dq_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(B * H, nb),
+            in_specs=[blk(self_), blk(prev), blk(self_), blk(nxt),
+                      blk(prev), blk(self_), blk(nxt),
+                      blk(self_), stat(self_), stat(self_)],
+            out_specs=blk(self_),
+        )
+        dq = pl.pallas_call(
+            functools.partial(_flash_dq_kernel, half=half, block=block,
+                              scale=sc, bf16=_flash_bf16()),
+            grid_spec=dq_spec,
+            out_shape=jax.ShapeDtypeStruct((B * H, nb * block, Dh), q.dtype),
+            interpret=interpret,
+        )(lengths, qf, kf, kf, kf, vf, vf, vf, dof, lse, dd)
+        dbias = None
+    else:
+        biasf = bias.astype(jnp.float32)
+        # dq + dbias: h-major grid so each head's dbias block is revisited
+        # by consecutive steps and accumulates in VMEM (flat row = b*H + h)
+        dq_blk = lambda fn: pl.BlockSpec(
+            (1, block, Dh), lambda h, b, j, lens: (b * H + h, fn(j), 0))
+        dq_stat = lambda fn: pl.BlockSpec(
+            (1, block, 1), lambda h, b, j, lens: (b * H + h, fn(j), 0))
+        bias_hspec = pl.BlockSpec((1, block, 3 * block),
+                                  lambda h, b, j, lens: (h, 0, 0))
+        dq_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(H, B, nb),
+            in_specs=[dq_blk(self_), dq_blk(prev), dq_blk(self_), dq_blk(nxt),
+                      dq_blk(prev), dq_blk(self_), dq_blk(nxt),
+                      bias_hspec,
+                      dq_blk(self_), dq_stat(self_), dq_stat(self_)],
+            out_specs=[dq_blk(self_), bias_hspec],
+        )
+        dq, dbias = pl.pallas_call(
+            functools.partial(_flash_biased_dq_kernel, half=half, block=block,
+                              scale=sc, nheads=H, bf16=_flash_bf16()),
+            grid_spec=dq_spec,
+            out_shape=[
+                jax.ShapeDtypeStruct((B * H, nb * block, Dh), q.dtype),
+                jax.ShapeDtypeStruct((H, block, 3 * block), jnp.float32),
+            ],
+            interpret=interpret,
+        )(lengths, qf, kf, kf, kf, vf, vf, vf, biasf, dof, lse, dd)
 
-    def idx(fn):
-        return lambda i, j, lens: (i, fn(j), 0)
-
-    blk = lambda fn: pl.BlockSpec((1, block, Dh), idx(fn))
-    stat = lambda fn: pl.BlockSpec((1, block, 1), idx(fn))
+    dkv_in_specs = [blk(self_), blk(self_),
+                    blk(prev), blk(self_), blk(nxt),
+                    blk(prev), blk(self_), blk(nxt),
+                    stat(prev), stat(self_), stat(nxt),
+                    stat(prev), stat(self_), stat(nxt)]
+    dkv_operands = [kf, vf, qf, qf, qf, dof, dof, dof, lse, lse, lse,
+                    dd, dd, dd]
+    if bias is not None:
+        dkv_in_specs.append(pl.BlockSpec((1, block, 3 * block),
+                                         lambda i, j, lens: (i % H, 0, 0)))
+        dkv_operands.append(bias.astype(jnp.float32))
     dkv_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(B * H, nb),
-        in_specs=[blk(self_), blk(self_),
-                  blk(prev), blk(self_), blk(nxt),
-                  blk(prev), blk(self_), blk(nxt),
-                  stat(prev), stat(self_), stat(nxt),
-                  stat(prev), stat(self_), stat(nxt),
-                  pl.BlockSpec((1, block, 3 * block),
-                               lambda i, j, lens: (i % H, 0, 0))],
+        in_specs=dkv_in_specs,
         out_specs=[blk(self_), blk(self_)],
     )
     dk, dv = pl.pallas_call(
-        functools.partial(_flash_biased_dkv_kernel, half=half, block=block,
+        functools.partial(_flash_dkv_kernel, half=half, block=block,
                           scale=sc, bf16=_flash_bf16()),
         grid_spec=dkv_spec,
         out_shape=[
@@ -639,10 +498,11 @@ def _flash_biased_bwd_impl(q, k, v, mask, bias, out, lse, do, window: int,
             jax.ShapeDtypeStruct((B * H, nb * block, Dh), v.dtype),
         ],
         interpret=interpret,
-    )(lengths, kf, vf, qf, qf, qf, dof, dof, dof, lse, lse, lse, dd, dd, dd,
-      biasf)
+    )(lengths, *dkv_operands)
 
     unflat = lambda x: x.reshape(B, H, nb * block, Dh)[:, :, :L]
+    if bias is None:
+        return unflat(dq), unflat(dk), unflat(dv)
     return unflat(dq), unflat(dk), unflat(dv), dbias.astype(bias.dtype)
 
 
@@ -655,21 +515,21 @@ def flash_local_attention_biased(q, k, v, mask, bias, window: int,
     where block = _flash_geometry(L, window//2)[0] and column c of the tile is
     relative offset c - block - row. Differentiable in q/k/v/bias (the tile
     gradient backpropagates into the learnable T5 bucket table outside)."""
-    out, _ = _flash_biased_fwd_impl(q, k, v, mask, bias, window, scale,
-                                    interpret)
+    out, _ = _flash_fwd_impl(q, k, v, mask, window, interpret, bias=bias,
+                             scale=scale)
     return out
 
 
 def _flash_biased_vjp_fwd(q, k, v, mask, bias, window, scale, interpret):
-    out, lse = _flash_biased_fwd_impl(q, k, v, mask, bias, window, scale,
-                                      interpret)
+    out, lse = _flash_fwd_impl(q, k, v, mask, window, interpret, bias=bias,
+                               scale=scale)
     return out, (q, k, v, mask, bias, out, lse)
 
 
 def _flash_biased_vjp_bwd(window, scale, interpret, res, do):
     q, k, v, mask, bias, out, lse = res
-    dq, dk, dv, dbias = _flash_biased_bwd_impl(
-        q, k, v, mask, bias, out, lse, do, window, scale, interpret)
+    dq, dk, dv, dbias = _flash_bwd_impl(
+        q, k, v, mask, out, lse, do, window, interpret, bias=bias, scale=scale)
     return dq, dk, dv, jnp.zeros_like(mask), dbias
 
 
