@@ -283,6 +283,7 @@ class Predictor(BasePredictor):
         else:
             decode = jax.jit(lambda p, x, l: self.arch.decode(p, x, l, self.th))
         results = []
+        pending = []
         docs = [(e, [0] * len(e), n) for e, n in zip(embeddings, file_names)]
         multi = len(jax.devices()) > 1 and not self.double
         for i in range(0, len(docs), batch_size):
@@ -320,6 +321,11 @@ class Predictor(BasePredictor):
                     jnp.asarray(batch["src_tokens"]),
                     jnp.asarray(batch["src_lengths"]),
                 )
+            pending.append((chunk, batch, tags))
+        # drain AFTER every chunk's decode is queued: each np.asarray is a
+        # ~30 ms tunnel round trip, and pulling inside the dispatch loop
+        # would idle the device between chunks (train/loop.py does the same)
+        for chunk, batch, tags in pending:
             tags = np.asarray(tags)
             for j in range(len(chunk)):
                 L = int(batch["src_lengths"][j])
