@@ -318,6 +318,51 @@ def main():
     def _log(msg):
         print(f"[{time.time() - t_start:7.1f}s] {msg}", file=sys.stderr, flush=True)
 
+    # Backend watchdog FIRST: when the axon tunnel is down, the first
+    # jax.devices() call blocks indefinitely inside backend init and the
+    # driver's timeout would find an EMPTY stdout (the round-3 failure
+    # mode, BENCH_r03.json rc=124/parsed=null — reproduced live during a
+    # multi-hour tunnel outage in round 4). Probe in a daemon thread; if
+    # the backend is not up within MTS_BENCH_BACKEND_TIMEOUT (default
+    # 300 s; normal init is seconds), print an honest, parseable error
+    # record and exit nonzero. os._exit because the probe thread may be
+    # permanently stuck inside the backend plugin.
+    import os as _os
+
+    backend_up = threading.Event()
+    backend_info = {}
+
+    def _backend_probe():
+        try:
+            import jax
+
+            backend_info["devices"] = [str(d) for d in jax.devices()]
+        except Exception as e:  # noqa: BLE001
+            backend_info["error"] = str(e)
+        backend_up.set()
+
+    threading.Thread(target=_backend_probe, daemon=True).start()
+    probe_timeout = float(_os.environ.get("MTS_BENCH_BACKEND_TIMEOUT", "300"))
+    if not backend_up.wait(probe_timeout) or "error" in backend_info:
+        reason = backend_info.get(
+            "error", f"backend init still blocked after {probe_timeout:.0f}s"
+        )
+        _log(f"TPU backend unavailable: {reason}")
+        print(
+            json.dumps(
+                {
+                    "metric": "predict_wav2vec2_audio_min_per_sec",
+                    "value": 0.0,
+                    "unit": "audio-min/s",
+                    "vs_baseline": 0.0,
+                    "error": f"TPU backend unavailable: {reason}",
+                }
+            ),
+            flush=True,
+        )
+        _os._exit(2)
+    _log(f"backend up: {backend_info['devices']}")
+
     # The serial HF-torch CPU baseline (~1-2 min) overlaps the TPU-side
     # compiles: the host is idle while the remote backend compiles, so the
     # wall-clock cost of the baseline is mostly hidden.
