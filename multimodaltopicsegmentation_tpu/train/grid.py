@@ -225,8 +225,10 @@ class GridTrainer:
                         x2,
                     )
                     epoch_losses.append(loss)
-                # [n_b, G]; padded dummy configs (mesh rounding) are dropped
-                batch_losses = np.stack([np.asarray(l) for l in epoch_losses])[:, :G]
+                # [n_b, G]; padded dummy configs (mesh rounding) are dropped.
+                # One stacked transfer instead of a ~30 ms tunnel round trip
+                # per batch (same batching as Trainer.fit)
+                batch_losses = np.asarray(jnp.stack(epoch_losses))[:, :G]
                 if self.detect_anomaly and not np.all(np.isfinite(batch_losses)):
                     b, g = map(int, np.argwhere(~np.isfinite(batch_losses))[0])
                     raise FloatingPointError(
@@ -250,9 +252,12 @@ class GridTrainer:
                             jnp.asarray(batch["tgt_tokens"]),
                             x2,
                         )
-                        vals.append(np.asarray(l))
+                        vals.append(l)
                         weights.append(batch.get("n_real", len(batch["src_lengths"])))
-                    val_loss = np.average(np.stack(vals), axis=0, weights=weights)[:G]
+                    # drain after all evals are queued (one stacked transfer)
+                    val_loss = np.average(
+                        np.asarray(jnp.stack(vals)), axis=0, weights=weights
+                    )[:G]
                 else:
                     val_loss = None
 
