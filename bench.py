@@ -191,10 +191,10 @@ def device_peak_tflops() -> float:
     return 0.0  # unknown device (e.g. CPU fallback): no MFU accounting
 
 
-BASELINE_UNITS = 20  # serial-CPU baseline sample size, reported in the record
+W2V_BASELINE_UNITS = 20  # wav2vec2 serial-CPU baseline sample size (recorded)
 
 
-def bench_predict_wav2vec_cpu_baseline(n_units: int = BASELINE_UNITS) -> float:
+def bench_predict_wav2vec_cpu_baseline(n_units: int = W2V_BASELINE_UNITS) -> float:
     """audio-min/s of the reference execution model: one HF torch wav2vec2
     forward per 1-second unit, strictly serial, then the torch BiLSTM
     decode. Extrapolated linearly (the loop is serial per unit)."""
@@ -371,7 +371,7 @@ def main():
     def _baseline_worker():
         t0 = time.time()
         try:
-            base["value"] = bench_predict_wav2vec_cpu_baseline(BASELINE_UNITS)
+            base["value"] = bench_predict_wav2vec_cpu_baseline(W2V_BASELINE_UNITS)
         except Exception as e:  # noqa: BLE001
             base["error"] = str(e)
         base["wall_s"] = time.time() - t0
@@ -444,7 +444,7 @@ def main():
     if "value" in base:
         record["vs_baseline"] = round(value / base["value"], 2)
         record["baseline_audio_min_per_sec"] = round(base["value"], 4)
-        record["baseline_units"] = BASELINE_UNITS
+        record["baseline_units"] = W2V_BASELINE_UNITS
         record["baseline_wall_s"] = round(base["wall_s"], 1)
     else:
         _log(

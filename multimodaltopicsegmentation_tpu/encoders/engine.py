@@ -23,6 +23,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .engine_util import bucket_rows as _bucket_rows
 from .engine_util import pad_units as _pad_units
 
 SR = 16000
@@ -42,9 +43,13 @@ class ProsodicEncoder:
         while i < len(bounds):
             lo = max(i - 1, 0)  # one unit of left context for pitch jumps
             hi = min(i + chunk, len(bounds))
+            # row-bucket (quantum 8: pyin's HMM is the costliest per-row
+            # stage, so keep padded rows few) — O(1) compiled row shapes
+            # per corpus; padded zero-length rows are dropped below
+            u, l = _bucket_rows(units[lo:hi], lens[lo:hi], 8)
             feats = np.asarray(
-                prosodic_features(jnp.asarray(units[lo:hi]), jnp.asarray(lens[lo:hi]), SR)
-            )
+                prosodic_features(jnp.asarray(u), jnp.asarray(l), SR)
+            )[: hi - lo]
             outs.append(feats[i - lo :])
             i = hi
         return [f for f in np.concatenate(outs, axis=0)]
@@ -61,12 +66,10 @@ class MFCCEncoder:
         units, lens = _pad_units(audio, bounds, bucket=True)
         outs = []
         for i in range(0, len(bounds), chunk):
-            feats = np.asarray(
-                mfcc_features(
-                    jnp.asarray(units[i : i + chunk]), jnp.asarray(lens[i : i + chunk]), SR
-                )
-            )
-            outs.append(feats)
+            n = min(chunk, len(bounds) - i)
+            u, l = _bucket_rows(units[i : i + chunk], lens[i : i + chunk], 32)
+            feats = np.asarray(mfcc_features(jnp.asarray(u), jnp.asarray(l), SR))
+            outs.append(feats[:n])
         return [f for f in np.concatenate(outs, axis=0)]
 
 
@@ -97,19 +100,14 @@ class Wav2Vec2Encoder:
         units, lens = _pad_units(audio, bounds, bucket=True)
         outs: List[np.ndarray] = []
         for i in range(0, len(bounds), chunk):
-            u = units[i : i + chunk]
-            l = lens[i : i + chunk]
-            nb = u.shape[0]
+            nb = min(chunk, len(bounds) - i)
             # Bucket the ragged tail chunk up to a multiple of 32 rows so a
             # corpus compiles O(1) encoder programs instead of one per
             # distinct tail size — each extra compile of the wav2vec2
             # program costs 20 s to minutes on the remote-compile tunnel,
-            # vs ~0.2 ms/row of padded compute. Padded rows have length 0
-            # (fully masked; finite outputs) and are dropped below.
-            nbb = min(chunk, 32 * ((nb + 31) // 32))
-            if nbb != nb:
-                u = np.concatenate([u, np.zeros((nbb - nb, u.shape[1]), u.dtype)])
-                l = np.concatenate([l, np.zeros((nbb - nb,), l.dtype)])
+            # vs ~0.2 ms/row of padded compute.
+            u, l = _bucket_rows(units[i : i + chunk], lens[i : i + chunk], 32,
+                                cap=chunk)
             frames = np.asarray(
                 self._apply(self.params, jnp.asarray(u), jnp.asarray(l))
             )[:nb]

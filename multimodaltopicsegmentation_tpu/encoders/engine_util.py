@@ -7,19 +7,46 @@ import numpy as np
 
 
 def bucket_samples(S: int, sr: int = 16000) -> int:
-    """Round a ragged document's max unit length STRICTLY up onto a 9/8
-    geometric grid, so a corpus compiles O(log) distinct encoder programs
-    instead of one per document (each extra wav2vec2 compile costs 20 s to
-    minutes on the remote-compile tunnel, vs ≤12.5% padded masked compute).
-    Strictly greater on purpose: with S_q > max(lens) EVERY unit sits in
-    the padded regime, whose length-masked features are exactly invariant
-    to further zero tail — whereas an exactly-fitting longest unit takes
-    the STFT edge path and would shift when the grid changes."""
+    """Round a ragged document's max unit length up onto a 9/8 geometric
+    grid — with >= HEADROOM samples of zero tail — so a corpus compiles
+    O(log) distinct encoder programs instead of one per document (each
+    extra wav2vec2 compile costs 20 s to minutes on the remote-compile
+    tunnel, vs ≤12.5% padded masked compute).
+
+    The headroom (not merely "strictly greater") puts EVERY unit deep in
+    the padded regime: 4096 >= n_fft/2 + the delta filter's reach x hop,
+    so the centered STFT windows and delta neighborhoods of every frame
+    a length mask keeps read only zeros, never the reflect boundary —
+    making the masked spectral features (MFCC/fbank/wav2vec2) exactly
+    invariant to the grid choice (tested). pyin-based prosodic features
+    are the one approximate case: the HMM Viterbi decode is global over
+    the padded track, so f0 at valid frames can shift with tail length —
+    the same dependence the pre-bucketing code already had (units were
+    padded to the DOCUMENT max), not a new one."""
     q = sr // 4
+    headroom = 4096
     b = q
-    while b <= S:
+    while b < S + headroom:
         b = -(-b * 9) // 8
     return b
+
+
+def bucket_rows(u: np.ndarray, l: np.ndarray, quantum: int, cap: int = None):
+    """Zero-pad the ROW (unit-count) axis up to a multiple of `quantum`
+    (optionally capped, e.g. at the full chunk size) so a corpus's ragged
+    tail chunks compile O(1) row shapes instead of one program per
+    distinct tail size. Padded rows have length 0 — fully masked, finite
+    outputs — and callers drop them by slicing the result to the real
+    row count."""
+    nb = u.shape[0]
+    nbb = quantum * (-(-nb // quantum))
+    if cap is not None:
+        nbb = min(cap, nbb)
+    if nbb == nb:
+        return u, l
+    u = np.concatenate([u, np.zeros((nbb - nb, *u.shape[1:]), u.dtype)])
+    l = np.concatenate([l, np.zeros((nbb - nb,), l.dtype)])
+    return u, l
 
 
 def pad_units(
@@ -29,11 +56,12 @@ def pad_units(
     """Slice [start, end) sample spans into one zero-padded [U, S] batch.
 
     bucket=True quantizes S via `bucket_samples` for RAGGED documents —
-    safe only for consumers whose features are length-masked. Uniform
-    documents (all unit lengths equal, e.g. the 1-second-unit predict
-    contract) keep their exact shape: it is already stable across the
-    corpus, and their units intentionally stay on the unpadded STFT edge
-    path the reference's per-unit computation uses."""
+    safe only for consumers whose features are length-masked (see the
+    pyin caveat on bucket_samples). Uniform documents (all unit lengths
+    equal, e.g. the 1-second-unit predict contract) keep their exact
+    shape: it is already stable across the corpus, and their units
+    intentionally stay on the unpadded STFT edge path the reference's
+    per-unit computation uses."""
     lens = [max(e - s, 1) for s, e in bounds]
     S = max_len or max(lens)
     if bucket and max_len is None and len(set(lens)) > 1:

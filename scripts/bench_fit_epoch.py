@@ -44,10 +44,12 @@ def main():
     with tempfile.TemporaryDirectory() as tmp:
         tr = Trainer("BiLSTM", cfg, lr=1e-3, max_epochs=epochs,
                      no_early_stop=True, check_dir=os.path.join(tmp, "ck"))
-        # warmup fit: compiles the train step + eval loss programs
-        tr2 = Trainer("BiLSTM", cfg, lr=1e-3, max_epochs=2,
-                      no_early_stop=True, check_dir=os.path.join(tmp, "ck0"))
-        tr2.fit(train_batches, valid_batches)
+        # warmup on the SAME instance: the jitted step/eval caches are
+        # per-Trainer, so warming a second instance would leave retraces
+        # and a compile-cache round trip inside the timed region
+        tr.max_epochs = 2
+        tr.fit(train_batches, valid_batches)
+        tr.max_epochs = epochs
 
         t0 = time.time()
         tr.fit(train_batches, valid_batches)

@@ -102,10 +102,12 @@ def test_bucket_samples_grid():
         pad_units,
     )
 
-    # strictly greater, within 12.5% + one quantum, onto a shared grid
+    # >= 4096 samples of guaranteed zero tail (STFT window + delta reach
+    # of every masked-kept frame stays off the reflect boundary), within
+    # 12.5% + one quantum above that, onto a shared grid
     for s in (3999, 4000, 4001, 9573, 16000, 17371, 111111):
         b = bucket_samples(s)
-        assert b > s and b <= -(-s * 9) // 8 + 4000
+        assert b >= s + 4096 and b <= -(-(s + 4096) * 9) // 8 + 4000
     # grid is shared: everything in a bucket maps to one value
     assert bucket_samples(17000) == bucket_samples(17371)
     # the whole plausible VAD range (0.25 s .. 30 s) yields few programs
@@ -116,9 +118,9 @@ def test_bucket_samples_grid():
     audio = np.zeros(64000, np.float32)
     u, l = pad_units(audio, [(0, 16000), (16000, 32000)], bucket=True)
     assert u.shape[1] == 16000
-    # ragged document: bucketed strictly above the max
+    # ragged document: bucketed above the max with headroom
     u, l = pad_units(audio, [(0, 9573), (9573, 27000)], bucket=True)
-    assert u.shape[1] == bucket_samples(17427) > 17427
+    assert u.shape[1] == bucket_samples(17427) >= 17427 + 4096
 
 
 def test_mfcc_encoder_bucketing_invariance():
