@@ -118,6 +118,13 @@ class CrepeEncoder:
             frames = np.stack([seg[st : st + FRAME] for st in starts])
             embs = []
             for i in range(0, len(frames), chunk):
-                embs.append(np.asarray(crepe_apply(self.params, jnp.asarray(frames[i : i + chunk]))))
+                f = frames[i : i + chunk]
+                n = len(f)
+                # row-bucket the ragged tail (O(1) compiled batch shapes
+                # per corpus; zero-frame rows sliced away)
+                nb = min(chunk, 32 * (-(-n // 32)))
+                if nb != n:
+                    f = np.concatenate([f, np.zeros((nb - n, FRAME), f.dtype)])
+                embs.append(np.asarray(crepe_apply(self.params, jnp.asarray(f)))[:n])
             outs.append(np.concatenate(embs, axis=0))
         return outs

@@ -153,10 +153,18 @@ class OpenL3Encoder:
             windows = np.stack([seg[st : st + win] for st in starts])
             embs = []
             for i in range(0, len(windows), chunk):
+                w = windows[i : i + chunk]
+                n = len(w)
+                # row-bucket the ragged tail so a corpus compiles O(1)
+                # window-batch shapes (see encoders/engine_util.bucket_rows;
+                # zero windows' embeddings are sliced away)
+                nb = min(chunk, 32 * (-(-n // 32)))
+                if nb != n:
+                    w = np.concatenate([w, np.zeros((nb - n, win), w.dtype)])
                 embs.append(
                     np.asarray(
-                        openl3_apply(self.params, jnp.asarray(windows[i : i + chunk]), self.n_mels)
-                    )
+                        openl3_apply(self.params, jnp.asarray(w), self.n_mels)
+                    )[:n]
                 )
             outs.append(np.concatenate(embs, axis=0))
         return outs
