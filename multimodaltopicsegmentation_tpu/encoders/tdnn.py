@@ -27,7 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..dsp.spectral import melspectrogram, power_to_db
-from .engine_util import pad_units
+from .engine_util import bucket_rows, pad_units
 
 SR = 16000
 
@@ -350,13 +350,17 @@ def _encode_pooled(enc, audio, bounds, chunk, n_mels):
     outs = []
     fb = _fbank_batch(n_mels)
     for i in range(0, len(bounds), chunk):
-        u = jnp.asarray(units[i : i + chunk])
-        l = lens[i : i + chunk]
-        feats = fb(u)
+        n = min(chunk, len(bounds) - i)
+        # row-bucket the ragged tail chunk (O(1) compiled shapes per
+        # corpus); rows are independent through fbank and the per-row ASP
+        # pooling, so the padded rows are simply sliced away
+        u, l = bucket_rows(units[i : i + chunk], lens[i : i + chunk], 32,
+                           cap=chunk)
+        feats = fb(jnp.asarray(u))
         T = feats.shape[1]
         fmask = (np.arange(T)[None, :] < (1 + l[:, None] // 160)).astype(np.float32)
         emb = np.asarray(enc._apply(enc.params, feats, jnp.asarray(fmask)))
-        outs.append(emb)
+        outs.append(emb[:n])
     return [e for e in np.concatenate(outs, axis=0)]
 
 
