@@ -27,6 +27,7 @@ from ..train import checkpoints as ckpt_lib
 from ..models import registry
 from ..models.base import TaggerConfig
 from ..train.data import load_dataset_for_inference, pad_batch
+from ..train.loop import DECODE_QUEUE_DEPTH
 from ..utils.audio import load_audio, save_wav
 
 ENCODER_DIMS = [
@@ -282,8 +283,17 @@ class Predictor(BasePredictor):
             )
         else:
             decode = jax.jit(lambda p, x, l: self.arch.decode(p, x, l, self.th))
+        # decode dispatches run AHEAD of the tag pulls (each np.asarray is
+        # a ~30 ms tunnel round trip that would otherwise idle the device
+        # between chunks), with the in-flight window bounded so queued
+        # chunks' input buffers cannot crowd HBM (train/loop.py ditto)
         results = []
-        pending = []
+        pending, pulled = [], []
+
+        def _drain_one():
+            c, b, t = pending.pop(0)
+            pulled.append((c, b, np.asarray(t)))
+
         docs = [(e, [0] * len(e), n) for e, n in zip(embeddings, file_names)]
         multi = len(jax.devices()) > 1 and not self.double
         for i in range(0, len(docs), batch_size):
@@ -322,11 +332,11 @@ class Predictor(BasePredictor):
                     jnp.asarray(batch["src_lengths"]),
                 )
             pending.append((chunk, batch, tags))
-        # drain AFTER every chunk's decode is queued: each np.asarray is a
-        # ~30 ms tunnel round trip, and pulling inside the dispatch loop
-        # would idle the device between chunks (train/loop.py does the same)
-        for chunk, batch, tags in pending:
-            tags = np.asarray(tags)
+            if len(pending) > DECODE_QUEUE_DEPTH:
+                _drain_one()
+        while pending:
+            _drain_one()
+        for chunk, batch, tags in pulled:
             for j in range(len(chunk)):
                 L = int(batch["src_lengths"][j])
                 results.append(tags[j][:L].astype(int).tolist())

@@ -40,6 +40,13 @@ from ..models import registry
 from ..models.base import TaggerConfig
 from . import checkpoints as ckpt_lib
 
+# Decode dispatches allowed in flight before the oldest result is pulled:
+# deep enough to hide the ~30 ms tunnel pull behind device compute, shallow
+# enough that the queued batches' [B, L, D] input buffers cannot crowd HBM
+# on corpus-scale runs (each dispatched-but-unexecuted batch pins its
+# inputs until it runs).
+DECODE_QUEUE_DEPTH = 8
+
 
 def make_optimizer(name: str, lr: float, clip: float = 0.0):
     if name == "SGD":
@@ -584,11 +591,18 @@ class Trainer:
         decode = None
         per_doc, all_scores = [], []
 
-        # dispatch every batch's decode BEFORE pulling any result: the
-        # per-document metric math below is host-bound, and interleaving
-        # it with the pulls would idle the device between batches (decode
-        # outputs are [B,L(,C)] — trivially small to keep resident)
-        pending = []
+        # dispatch decodes AHEAD of pulling results: the per-document
+        # metric math below is host-bound, and interleaving it with the
+        # pulls would idle the device between batches. The in-flight
+        # window is bounded (DECODE_QUEUE_DEPTH) so queued batches' input
+        # buffers cannot crowd HBM on corpus-scale runs; decode outputs
+        # themselves are [B,L(,C)] — trivially small to keep as numpy
+        pending, pulled = [], []
+
+        def _drain_one():
+            b, s, t = pending.pop(0)
+            pulled.append((b, np.asarray(s), np.asarray(t)))
+
         for batch in test_batches:
             if self.seq_mesh is not None:
                 batch = self._pad_unit_axis(batch)
@@ -633,11 +647,12 @@ class Trainer:
                 else:
                     scores, tags = decode(params, src, lengths)
             pending.append((batch, scores, tags))
+            if len(pending) > DECODE_QUEUE_DEPTH:
+                _drain_one()
+        while pending:
+            _drain_one()
 
-        for batch, scores, tags in pending:
-            scores_np = np.asarray(scores)
-            tags_np = np.asarray(tags)
-
+        for batch, scores_np, tags_np in pulled:
             for i in range(batch.get("n_real", len(batch["src_lengths"]))):
                 L = int(batch["src_lengths"][i])
                 tag = tags_np[i][:L].astype(int).tolist()
@@ -738,9 +753,15 @@ class Trainer:
             decode_scores = jax.jit(lambda p, x, l, x2: arch.decode(p, x, l, 0.5, x2=x2)[0])
         else:
             decode_scores = jax.jit(lambda p, x, l: arch.decode(p, x, l, 0.5)[0])
-        # dispatch all batches, then drain (same device-idle rationale as
-        # test() — ndim for the CRF early-out is shape metadata, no pull)
-        pending = []
+        # dispatch ahead of the pulls with a bounded in-flight window
+        # (same rationale as test() — ndim for the CRF early-out is shape
+        # metadata, no pull)
+        pending, pulled = [], []
+
+        def _drain_one():
+            b, s = pending.pop(0)
+            pulled.append((b, np.asarray(s)))
+
         for batch in valid_batches:
             if self.seq_mesh is not None:
                 batch = self._pad_unit_axis(batch)
@@ -759,9 +780,12 @@ class Trainer:
                 # search — keep the reference default
                 return 0.5, float("nan")
             pending.append((batch, dev_scores))
+            if len(pending) > DECODE_QUEUE_DEPTH:
+                _drain_one()
+        while pending:
+            _drain_one()
         docs = []
-        for batch, dev_scores in pending:
-            scores = np.asarray(dev_scores)
+        for batch, scores in pulled:
             for i in range(batch.get("n_real", len(batch["src_lengths"]))):
                 L = int(batch["src_lengths"][i])
                 s = scores[i][:L]  # [L, C] head logits (C=1 sigmoid heads)
@@ -832,8 +856,13 @@ class Trainer:
             decode = jax.jit(lambda p, x, l, x2: arch.decode(p, x, l, threshold, x2=x2))
         else:
             decode = jax.jit(lambda p, x, l: arch.decode(p, x, l, threshold))
-        # dispatch-all-then-drain, as in test()
-        pending = []
+        # bounded dispatch-ahead window, as in test()
+        pending, pulled = [], []
+
+        def _drain_one():
+            b, t = pending.pop(0)
+            pulled.append((b, np.asarray(t)))
+
         for batch in batches:
             if self.seq_mesh is not None:
                 batch = self._pad_unit_axis(batch)
@@ -848,9 +877,12 @@ class Trainer:
                 args.append(jnp.asarray(batch["src_tokens2"]))
             scores, tags = decode(*args)
             pending.append((batch, tags))
+            if len(pending) > DECODE_QUEUE_DEPTH:
+                _drain_one()
+        while pending:
+            _drain_one()
         out = []
-        for batch, tags in pending:
-            tags_np = np.asarray(tags)
+        for batch, tags_np in pulled:
             for i in range(batch.get("n_real", len(batch["src_lengths"]))):
                 L = int(batch["src_lengths"][i])
                 out.append(tags_np[i][:L].astype(int).tolist())
