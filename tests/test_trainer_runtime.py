@@ -224,3 +224,34 @@ def test_predict_handles_domain_and_double(tmp_path):
     params2 = t2.arch.init(__import__("jax").random.PRNGKey(0))
     tags2 = t2.predict(params2, [batch(10, "double")])
     assert len(tags2) == B and all(len(x) == L for x in tags2)
+
+
+def test_decode_queue_window_many_batches(tmp_path, rng):
+    """More batches than DECODE_QUEUE_DEPTH: the sliding drain must keep
+    results in batch order and identical to a one-batch-at-a-time run
+    through test(), predict(), and search_threshold()."""
+    from multimodaltopicsegmentation_tpu.train.loop import DECODE_QUEUE_DEPTH
+
+    trainer, cfg = _trainer(tmp_path)
+    params = trainer.arch.init(jax.random.PRNGKey(0))
+    n = DECODE_QUEUE_DEPTH + 4
+    batches = [_batch(rng, B=2, L=20) for _ in range(n)]
+
+    results, per_doc, scores = trainer.test(params, batches)
+    tags = trainer.predict(params, batches)
+    th, val = trainer.search_threshold(params, batches)
+    assert len(per_doc) == 2 * n and len(tags) == 2 * n
+
+    per_doc_serial, tags_serial, scores_serial = [], [], []
+    for b in batches:
+        _, pd, sc = trainer.test(params, [b])
+        per_doc_serial.extend(pd)
+        tags_serial.extend(trainer.predict(params, [b]))
+        scores_serial.extend(sc)
+    assert per_doc == per_doc_serial
+    assert tags == tags_serial
+    for a, b in zip(scores, scores_serial):
+        np.testing.assert_allclose(a, b, atol=1e-6)
+    th_s, val_s = trainer.search_threshold(params, batches[:1])
+    assert th in (0.05, 0.1, 0.2, 0.3, 0.4, 0.5, 0.6) and np.isfinite(val)
+    assert th_s in (0.05, 0.1, 0.2, 0.3, 0.4, 0.5, 0.6)
