@@ -27,7 +27,7 @@ from ..train import checkpoints as ckpt_lib
 from ..models import registry
 from ..models.base import TaggerConfig
 from ..train.data import load_dataset_for_inference, pad_batch
-from ..train.loop import DECODE_QUEUE_DEPTH
+from ..train.loop import BoundedDrain
 from ..utils.audio import load_audio, save_wav
 
 ENCODER_DIMS = [
@@ -286,14 +286,9 @@ class Predictor(BasePredictor):
         # decode dispatches run AHEAD of the tag pulls (each np.asarray is
         # a ~30 ms tunnel round trip that would otherwise idle the device
         # between chunks), with the in-flight window bounded so queued
-        # chunks' input buffers cannot crowd HBM (train/loop.py ditto)
+        # chunks' input buffers cannot crowd HBM (train/loop.BoundedDrain)
         results = []
-        pending, pulled = [], []
-
-        def _drain_one():
-            c, b, t = pending.pop(0)
-            pulled.append((c, b, np.asarray(t)))
-
+        q = BoundedDrain(lambda it: (it[0], it[1], np.asarray(it[2])))
         docs = [(e, [0] * len(e), n) for e, n in zip(embeddings, file_names)]
         multi = len(jax.devices()) > 1 and not self.double
         for i in range(0, len(docs), batch_size):
@@ -331,12 +326,8 @@ class Predictor(BasePredictor):
                     jnp.asarray(batch["src_tokens"]),
                     jnp.asarray(batch["src_lengths"]),
                 )
-            pending.append((chunk, batch, tags))
-            if len(pending) > DECODE_QUEUE_DEPTH:
-                _drain_one()
-        while pending:
-            _drain_one()
-        for chunk, batch, tags in pulled:
+            q.add((chunk, batch, tags))
+        for chunk, batch, tags in q.finish():
             for j in range(len(chunk)):
                 L = int(batch["src_lengths"][j])
                 results.append(tags[j][:L].astype(int).tolist())

@@ -19,6 +19,7 @@ import os
 import jax
 import jax.numpy as jnp
 import numpy as np
+from .engine_util import bucket_rows
 
 FRAME = 1024
 HOP = 160  # 10 ms at 16 kHz
@@ -118,13 +119,10 @@ class CrepeEncoder:
             frames = np.stack([seg[st : st + FRAME] for st in starts])
             embs = []
             for i in range(0, len(frames), chunk):
-                f = frames[i : i + chunk]
-                n = len(f)
                 # row-bucket the ragged tail (O(1) compiled batch shapes
                 # per corpus; zero-frame rows sliced away)
-                nb = min(chunk, 32 * (-(-n // 32)))
-                if nb != n:
-                    f = np.concatenate([f, np.zeros((nb - n, FRAME), f.dtype)])
+                n = len(frames[i : i + chunk])
+                f, _ = bucket_rows(frames[i : i + chunk], cap=chunk)
                 embs.append(np.asarray(crepe_apply(self.params, jnp.asarray(f)))[:n])
             outs.append(np.concatenate(embs, axis=0))
         return outs

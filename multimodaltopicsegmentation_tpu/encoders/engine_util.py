@@ -31,13 +31,15 @@ def bucket_samples(S: int, sr: int = 16000) -> int:
     return b
 
 
-def bucket_rows(u: np.ndarray, l: np.ndarray, quantum: int, cap: int = None):
-    """Zero-pad the ROW (unit-count) axis up to a multiple of `quantum`
-    (optionally capped, e.g. at the full chunk size) so a corpus's ragged
-    tail chunks compile O(1) row shapes instead of one program per
-    distinct tail size. Padded rows have length 0 — fully masked, finite
-    outputs — and callers drop them by slicing the result to the real
-    row count."""
+def bucket_rows(u: np.ndarray, l: np.ndarray = None, quantum: int = 32,
+                cap: int = None):
+    """Zero-pad the ROW (unit/window-count) axis up to a multiple of
+    `quantum` (optionally capped, e.g. at the full chunk size) so a
+    corpus's ragged tail chunks compile O(1) row shapes instead of one
+    program per distinct tail size. Padded rows have length 0 (when a
+    lens vector `l` is threaded) or are all-zero windows — either way
+    finite and row-independent — and callers drop them by slicing the
+    result to the real row count."""
     nb = u.shape[0]
     nbb = quantum * (-(-nb // quantum))
     if cap is not None:
@@ -45,7 +47,8 @@ def bucket_rows(u: np.ndarray, l: np.ndarray, quantum: int, cap: int = None):
     if nbb == nb:
         return u, l
     u = np.concatenate([u, np.zeros((nbb - nb, *u.shape[1:]), u.dtype)])
-    l = np.concatenate([l, np.zeros((nbb - nb,), l.dtype)])
+    if l is not None:
+        l = np.concatenate([l, np.zeros((nbb - nb,), l.dtype)])
     return u, l
 
 

@@ -26,6 +26,7 @@ import numpy as np
 
 from ..dsp.spectral import mel_filterbank, hann_window
 from ..utils.audio import resample
+from .engine_util import bucket_rows
 
 OPENL3_SR = 48000
 WINDOW_S = 1.0
@@ -153,14 +154,10 @@ class OpenL3Encoder:
             windows = np.stack([seg[st : st + win] for st in starts])
             embs = []
             for i in range(0, len(windows), chunk):
-                w = windows[i : i + chunk]
-                n = len(w)
                 # row-bucket the ragged tail so a corpus compiles O(1)
-                # window-batch shapes (see encoders/engine_util.bucket_rows;
-                # zero windows' embeddings are sliced away)
-                nb = min(chunk, 32 * (-(-n // 32)))
-                if nb != n:
-                    w = np.concatenate([w, np.zeros((nb - n, win), w.dtype)])
+                # window-batch shapes (zero windows' embeddings sliced away)
+                n = len(windows[i : i + chunk])
+                w, _ = bucket_rows(windows[i : i + chunk], cap=chunk)
                 embs.append(
                     np.asarray(
                         openl3_apply(self.params, jnp.asarray(w), self.n_mels)

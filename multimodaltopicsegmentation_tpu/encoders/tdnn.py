@@ -374,12 +374,19 @@ class RandomProjectionEncoder:
         self._proj = None
 
     def encode_document(self, audio, bounds, chunk=256):
-        units, lens = pad_units(audio, bounds)
+        # bucket=True + row bucketing keep this smoke path on the same
+        # O(1)-compiled-shapes contract as the real encoders; its unmasked
+        # mel statistics do shift with padding, which is immaterial for
+        # random-projection embeddings
+        units, lens = pad_units(audio, bounds, bucket=True)
         outs = []
         for i in range(0, len(units), chunk):
-            u = jnp.asarray(units[i : i + chunk])
-            mel = jax.vmap(lambda y: power_to_db(melspectrogram(y, SR, n_mels=64)))(u)
-            mel = np.asarray(mel)  # [B, 64, T]
+            n = min(chunk, len(units) - i)
+            u, _ = bucket_rows(units[i : i + chunk], cap=chunk)
+            mel = jax.vmap(lambda y: power_to_db(melspectrogram(y, SR, n_mels=64)))(
+                jnp.asarray(u)
+            )
+            mel = np.asarray(mel)[:n]  # [B, 64, T]
             if self._proj is None:
                 rng = np.random.default_rng(0)
                 self._proj = rng.standard_normal((128, self.dim)).astype(np.float32) * 0.1

@@ -48,6 +48,29 @@ from . import checkpoints as ckpt_lib
 DECODE_QUEUE_DEPTH = 8
 
 
+class BoundedDrain:
+    """Dispatch-ahead queue shared by every decode consumer: `add` device
+    results as they are dispatched; once more than DECODE_QUEUE_DEPTH are
+    in flight the oldest is pulled to host (FIFO), and `finish()` drains
+    the rest — device compute overlaps the pulls while resident input
+    buffers stay bounded. `pull` maps one queued item to its host form."""
+
+    def __init__(self, pull):
+        self._pull = pull
+        self._pending = []
+        self._pulled = []
+
+    def add(self, item):
+        self._pending.append(item)
+        if len(self._pending) > DECODE_QUEUE_DEPTH:
+            self._pulled.append(self._pull(self._pending.pop(0)))
+
+    def finish(self):
+        while self._pending:
+            self._pulled.append(self._pull(self._pending.pop(0)))
+        return self._pulled
+
+
 def make_optimizer(name: str, lr: float, clip: float = 0.0):
     if name == "SGD":
         tx = optax.inject_hyperparams(
@@ -593,16 +616,9 @@ class Trainer:
 
         # dispatch decodes AHEAD of pulling results: the per-document
         # metric math below is host-bound, and interleaving it with the
-        # pulls would idle the device between batches. The in-flight
-        # window is bounded (DECODE_QUEUE_DEPTH) so queued batches' input
-        # buffers cannot crowd HBM on corpus-scale runs; decode outputs
-        # themselves are [B,L(,C)] — trivially small to keep as numpy
-        pending, pulled = [], []
-
-        def _drain_one():
-            b, s, t = pending.pop(0)
-            pulled.append((b, np.asarray(s), np.asarray(t)))
-
+        # pulls would idle the device between batches; decode outputs
+        # are [B,L(,C)] — trivially small to keep as numpy
+        q = BoundedDrain(lambda it: (it[0], np.asarray(it[1]), np.asarray(it[2])))
         for batch in test_batches:
             if self.seq_mesh is not None:
                 batch = self._pad_unit_axis(batch)
@@ -646,13 +662,9 @@ class Trainer:
                     scores, tags = decode(params, src, lengths, jnp.asarray(batch["src_tokens2"]))
                 else:
                     scores, tags = decode(params, src, lengths)
-            pending.append((batch, scores, tags))
-            if len(pending) > DECODE_QUEUE_DEPTH:
-                _drain_one()
-        while pending:
-            _drain_one()
+            q.add((batch, scores, tags))
 
-        for batch, scores_np, tags_np in pulled:
+        for batch, scores_np, tags_np in q.finish():
             for i in range(batch.get("n_real", len(batch["src_lengths"]))):
                 L = int(batch["src_lengths"][i])
                 tag = tags_np[i][:L].astype(int).tolist()
@@ -756,12 +768,7 @@ class Trainer:
         # dispatch ahead of the pulls with a bounded in-flight window
         # (same rationale as test() — ndim for the CRF early-out is shape
         # metadata, no pull)
-        pending, pulled = [], []
-
-        def _drain_one():
-            b, s = pending.pop(0)
-            pulled.append((b, np.asarray(s)))
-
+        q = BoundedDrain(lambda it: (it[0], np.asarray(it[1])))
         for batch in valid_batches:
             if self.seq_mesh is not None:
                 batch = self._pad_unit_axis(batch)
@@ -779,13 +786,9 @@ class Trainer:
                 # CRF decode: one Viterbi score per doc, no threshold to
                 # search — keep the reference default
                 return 0.5, float("nan")
-            pending.append((batch, dev_scores))
-            if len(pending) > DECODE_QUEUE_DEPTH:
-                _drain_one()
-        while pending:
-            _drain_one()
+            q.add((batch, dev_scores))
         docs = []
-        for batch, scores in pulled:
+        for batch, scores in q.finish():
             for i in range(batch.get("n_real", len(batch["src_lengths"]))):
                 L = int(batch["src_lengths"][i])
                 s = scores[i][:L]  # [L, C] head logits (C=1 sigmoid heads)
@@ -857,12 +860,7 @@ class Trainer:
         else:
             decode = jax.jit(lambda p, x, l: arch.decode(p, x, l, threshold))
         # bounded dispatch-ahead window, as in test()
-        pending, pulled = [], []
-
-        def _drain_one():
-            b, t = pending.pop(0)
-            pulled.append((b, np.asarray(t)))
-
+        q = BoundedDrain(lambda it: (it[0], np.asarray(it[1])))
         for batch in batches:
             if self.seq_mesh is not None:
                 batch = self._pad_unit_axis(batch)
@@ -876,13 +874,9 @@ class Trainer:
             elif self.double:
                 args.append(jnp.asarray(batch["src_tokens2"]))
             scores, tags = decode(*args)
-            pending.append((batch, tags))
-            if len(pending) > DECODE_QUEUE_DEPTH:
-                _drain_one()
-        while pending:
-            _drain_one()
+            q.add((batch, tags))
         out = []
-        for batch, tags_np in pulled:
+        for batch, tags_np in q.finish():
             for i in range(batch.get("n_real", len(batch["src_lengths"]))):
                 L = int(batch["src_lengths"][i])
                 out.append(tags_np[i][:L].astype(int).tolist())

@@ -2,9 +2,11 @@
 """End-to-end `predict.py` CLI throughput on a synthetic wav corpus.
 
 Measures the FULL user journey the reference's predict.py implements
-(/root/reference/predict.py): decode wavs -> VAD unitization -> neural
-encoder -> tagger decode -> threshold -> segmented wavs written to disk —
-including all host IO, not just the device pipeline bench.py times.
+(/root/reference/predict.py): decode wavs -> uniform 1 s unitization (the
+-vd flag is store_false on --vad, matching predict.py's hardcoded
+vad=False contract) -> neural encoder -> tagger decode -> threshold ->
+segmented wavs written to disk — including all host IO, not just the
+device pipeline bench.py times.
 
 Corpus: N_DOCS synthetic 16 kHz broadcasts of DOC_MIN minutes each (tone
 topics + noise). Encoder: wav2vec2-base with random weights
