@@ -511,6 +511,13 @@ def main():
     # the historical 900-1300x drift is attributable to baseline-host noise.
     try:
         _log("extras: re-measuring the serial-CPU baseline on the quiet host")
+        # If the bounded headline join timed out, the first baseline thread
+        # may still be running — wait it out, or the two serial-CPU runs
+        # would contend with EACH OTHER and both samples come out slow
+        # (understating best_base, inflating vs_baseline). Bounded so a
+        # wedged thread cannot hold the enriched record hostage.
+        if bt.is_alive():
+            bt.join(timeout=300.0)
         t0 = time.time()
         b2 = bench_predict_wav2vec_cpu_baseline()
         record["baseline_audio_min_per_sec_serial"] = round(b2, 4)

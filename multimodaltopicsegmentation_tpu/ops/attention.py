@@ -118,12 +118,12 @@ def local_attention(
         # relative bias, unscaled) — both measured on the flagship configs
         # (docs/PERFORMANCE.md).
         on_tpu = jax.devices()[0].platform == "tpu"
-        if _flash_default() and on_tpu and bias_fn is None and scale:
-            use_pallas = "flash"
-        elif _flash_default() and on_tpu and bias_fn is not None:
-            use_pallas = "flash"
-        else:
-            use_pallas = False
+        # flash covers every library configuration except the (unused)
+        # unbiased-AND-unscaled combination, which only the XLA path takes
+        flash_ok = bias_fn is not None or scale
+        use_pallas = (
+            "flash" if _flash_default() and on_tpu and flash_ok else False
+        )
     if use_pallas == "flash":
         if mask is None:
             mask = jnp.ones((B, L), q.dtype)

@@ -30,6 +30,18 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e9
 
 
+def _mask_cotangent(mask):
+    """Zero cotangent for the (non-differentiable) mask primal. Bool/int
+    masks take a float0 cotangent — returning zeros of the primal dtype
+    raises a TypeError at grad time, a failure only the TPU flash default
+    would hit (the XLA path accepts non-float masks under grad fine)."""
+    if jnp.issubdtype(mask.dtype, jnp.inexact):
+        return jnp.zeros_like(mask)
+    import numpy as np
+
+    return np.zeros(mask.shape, dtype=jax.dtypes.float0)
+
+
 def _flash_bf16() -> bool:
     # MTS_FLASH_BF16=1 runs the flash kernels' matmuls with bf16 operands
     # (f32 accumulation) — the same effective precision as the XLA path's
@@ -530,7 +542,7 @@ def _flash_biased_vjp_bwd(window, scale, interpret, res, do):
     q, k, v, mask, bias, out, lse = res
     dq, dk, dv, dbias = _flash_bwd_impl(
         q, k, v, mask, out, lse, do, window, interpret, bias=bias, scale=scale)
-    return dq, dk, dv, jnp.zeros_like(mask), dbias
+    return dq, dk, dv, _mask_cotangent(mask), dbias
 
 
 flash_local_attention_biased.defvjp(_flash_biased_vjp_fwd,
@@ -556,7 +568,7 @@ def _flash_vjp_fwd(q, k, v, mask, window, interpret):
 def _flash_vjp_bwd(window, interpret, res, do):
     q, k, v, mask, out, lse = res
     dq, dk, dv = _flash_bwd_impl(q, k, v, mask, out, lse, do, window, interpret)
-    return dq, dk, dv, jnp.zeros_like(mask)
+    return dq, dk, dv, _mask_cotangent(mask)
 
 
 flash_local_attention.defvjp(_flash_vjp_fwd, _flash_vjp_bwd)

@@ -423,6 +423,17 @@ def _convert_recurrent_longt5(sd: dict):
     from multimodaltopicsegmentation_tpu.models.base import TaggerConfig
 
     blocks = []
+    if "model.0.lstm.rnn.weight_ih_l0" not in sd:
+        # routed here by '.LocalSelfAttention.' keys, but the nesting does
+        # not match the reference's Lightning layout — fail with the same
+        # curated message every other path gives, not a bare KeyError
+        raise ValueError(
+            "checkpoint has LongT5 LocalSelfAttention keys but no "
+            "'model.{i}.lstm.rnn.*' block prefix; only reference "
+            "RecurrentLongT5 TextSegmenter checkpoints "
+            "(models/CRF.py:613-762, saved through Lightning) have a "
+            "conversion rule"
+        )
     i = 0
     while f"model.{i}.lstm.rnn.weight_ih_l0" in sd:
         b = f"model.{i}"

@@ -622,12 +622,14 @@ class Trainer:
         for batch in test_batches:
             if self.seq_mesh is not None:
                 batch = self._pad_unit_axis(batch)
-            src = jnp.asarray(batch["src_tokens"])
-            lengths = jnp.asarray(batch["src_lengths"])
             if self.zero_baseline:
+                # never-predict baseline: no decode, so don't pay the
+                # tunnel upload for inputs the device would never read
                 scores = np.zeros(batch["src_tokens"].shape[:2], np.float32)
                 tags = np.zeros(batch["src_tokens"].shape[:2], bool)
             else:
+                src = jnp.asarray(batch["src_tokens"])
+                lengths = jnp.asarray(batch["src_lengths"])
                 if decode is None:
                     arch = self.arch
                     if self.seq_mesh is not None:

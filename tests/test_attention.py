@@ -136,6 +136,29 @@ def test_flash_grads_match_xla_path(window, L):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=2e-5)
 
 
+def test_flash_grad_accepts_nonfloat_mask():
+    """Bool/int masks must take a float0 cotangent in the custom_vjp bwd —
+    zeros of the primal dtype raise a TypeError at grad time, which only the
+    TPU flash default path would hit (the XLA path grads fine)."""
+    from multimodaltopicsegmentation_tpu.ops.pallas_attention import (
+        flash_local_attention,
+    )
+
+    window, L = 4, 16
+    q, k, v = _rand_qkv(4, L=L)
+    lengths = np.array([L, max(L - 3, 1)])
+    for dt in (bool, np.int32):
+        mask = jnp.asarray(np.arange(L)[None, :] < lengths[:, None]).astype(dt)
+        fmask = mask.astype(q.dtype)
+
+        def loss(q):
+            o = flash_local_attention(q, k, v, mask, window, True)
+            return jnp.sum(jnp.sin(o) * fmask[:, None, :, None])
+
+        g = jax.grad(loss)(q)  # must not raise
+        assert np.isfinite(np.asarray(g)).all()
+
+
 def _biased_setup(seed, window, L, num_buckets=8):
     """qkv + prefix mask + a learnable T5-style bucket table and its
     bias_fn, plus the flash-geometry bias tile builder."""
