@@ -26,7 +26,8 @@ def build(architecture: str, cfg: TaggerConfig):
         return taggers.SheikhBiLSTM(cfg)
     if architecture == "SwitchBiLSTM":
         return taggers.SwitchBiLSTM(cfg)
-    if architecture in ("Transformer", "Transformer-CRF", "RecurrentLongT5", "BiLSTMRestrictedMHA"):
+    if architecture in ("Transformer", "Transformer-CRF", "RecurrentLongT5",
+                        "BiLSTMRestrictedMHA", "RecurrentLongformer"):
         from . import transformers as tr
 
         if architecture == "Transformer":

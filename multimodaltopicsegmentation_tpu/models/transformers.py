@@ -13,9 +13,10 @@ window semantics, dimensions and layer structure, not weight-level porting:
   per-layer window list (Longformer_Local_Attention, :66-133); the
   pyramidal schedule `[w*k for k in L..1]` comes from models/CRF.py:529
 - LongformerMHABlock: the "noffn" single layer used as a bare local-MHA
-  block with an optional external key/value stream (the vendored
-  longformer_noffn pyc's LongformerLayer with external_input; call site
-  models/CRF.py:673-679)
+  block with an optional external KEY stream (the vendored longformer_noffn
+  pyc's LongformerLayer with external_input, which feeds only the key
+  projection — queries and values stay on the input stream; call site
+  models/CRF.py:673-679, glue recovered in tests/test_reference_pyc_glue.py)
 - LongT5Encoder: T5-style pre-RMSNorm blocks with local attention +
   relative-position-bucket bias (LongT5, :135-187; bucket derivation
   replicates the reference expression `max(4, window+1//4)` == max(4, w))
@@ -86,12 +87,11 @@ def mha_params(rng, d_model):
     }
 
 
-def _attend(p, x, nheads, mask, window=None, kv=None, bias_fn=None, scale=True):
-    """MHA with optional sliding window and external key/value stream."""
-    src_kv = kv if kv is not None else x
+def _attend(p, x, nheads, mask, window=None, bias_fn=None, scale=True):
+    """MHA with optional sliding window."""
     q = split_heads(linear(p["q"], x), nheads)
-    k = split_heads(linear(p["k"], src_kv), nheads)
-    v = split_heads(linear(p["v"], src_kv), nheads)
+    k = split_heads(linear(p["k"], x), nheads)
+    v = split_heads(linear(p["v"], x), nheads)
     if window is None:
         out = dense_attention(q, k, v, mask)
     else:
@@ -395,9 +395,26 @@ class RecurrentLongT5(_RecurrentLongBlockBase):
 
 class RecurrentLongformer(_RecurrentLongBlockBase):
     """Stacked [BiLSTM -> bare local-MHA block] with the separate
-    forward/backward query-vs-key/value trick, topped by a final BiLSTM
-    (reference RecurrentLongformer, models/CRF.py:636-858; the reference
-    asserts a fixed 3600-unit budget, here any static length works)."""
+    forward/backward trick, topped by a final BiLSTM (reference
+    RecurrentLongformer, models/CRF.py:636-858; the reference asserts a
+    fixed 3600-unit budget, here any static length works).
+
+    Block semantics recovered from the vendored longformer_noffn BYTECODE
+    (the module ships as 3.10 pyc only; decoded by tools/pyc310.py and
+    pinned by tests/test_reference_pyc_glue.py):
+    - the "noffn" LongformerLayer is attention-ONLY and returns the bare
+      merged-head context: no output projection, no residual, no LayerNorm
+      (LongformerAttention.forward never calls LongformerSelfOutput, and
+      __init__ never constructs it; LongformerLayer has no intermediate/
+      output members).
+    - with separate_forward_backward, external_input feeds ONLY the key
+      projection — queries AND VALUES come from the forward-LSTM half
+      (LongformerSelfAttention.forward: `value_vectors =
+      self.value(hidden_states)` unconditionally).
+    - scores are scaled by 1/sqrt(head_dim) (HF convention; scale=True).
+    Divergence kept: the reference applies HF's attention-probs dropout at
+    config default p=0.1 in training (the block never passes
+    attention_probs_dropout_prob); decode/eval is exact either way."""
 
     def __init__(self, cfg: TaggerConfig, separate_forward_backward: bool = True,
                  last_bilstm: bool = True):
@@ -414,11 +431,15 @@ class RecurrentLongformer(_RecurrentLongBlockBase):
         in_dim = self.cfg.embedding_dim
         for i in range(self.cfg.num_layers):
             rng, k1, k2 = jax.random.split(rng, 3)
+            ks = jax.random.split(k2, 3)
             blocks.append(
                 {
                     "lstm": self._lstm_params(k1, in_dim, H),
-                    "attn": mha_params(k2, attn_dim),
-                    "ln": ln_params(attn_dim),
+                    "attn": {
+                        "q": linear_params(ks[0], attn_dim, attn_dim),
+                        "k": linear_params(ks[1], attn_dim, attn_dim),
+                        "v": linear_params(ks[2], attn_dim, attn_dim),
+                    },
                 }
             )
             in_dim = attn_dim
@@ -435,21 +456,26 @@ class RecurrentLongformer(_RecurrentLongBlockBase):
 
     def scores(self, params, x, lengths, train=False, rng=None):
         H = self.cfg.hidden_dim
+        nh = self.cfg.nheads
         mask = length_mask(lengths, x.shape[1], x.dtype)
         h = x
         for bp in params["blocks"]:
             h = bidirectional_rnn(bp["lstm"]["fwd"], bp["lstm"]["bwd"], h, lengths)
             if self.sep_fb:
-                # forward states query against backward states as key/value
+                # forward states carry queries AND values; backward states
+                # feed only the keys (pyc receipt: key = key(external_input),
+                # value = value(hidden_states))
                 B, L, _ = h.shape
                 hr = h.reshape(B, L, 2, H)
-                h_for, h_bac = hr[:, :, 0], hr[:, :, 1]
-                a = _attend(bp["attn"], h_for, self.cfg.nheads, mask,
-                            window=self.window, kv=h_bac)
-                h = layer_norm(bp["ln"], h_for + a)
+                q_src, k_src = hr[:, :, 0], hr[:, :, 1]
+                v_src = q_src
             else:
-                a = _attend(bp["attn"], h, self.cfg.nheads, mask, window=self.window)
-                h = layer_norm(bp["ln"], h + a)
+                q_src = k_src = v_src = h
+            q = split_heads(linear(bp["attn"]["q"], q_src), nh)
+            k = split_heads(linear(bp["attn"]["k"], k_src), nh)
+            v = split_heads(linear(bp["attn"]["v"], v_src), nh)
+            # bare context out — the noffn layer has no o-proj/residual/LN
+            h = merge_heads(local_attention(q, k, v, self.window, mask))
         if self.last_bilstm:
             h = bidirectional_rnn(
                 params["final_lstm"]["fwd"], params["final_lstm"]["bwd"], h, lengths

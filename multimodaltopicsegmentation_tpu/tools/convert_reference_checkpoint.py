@@ -84,8 +84,7 @@ def infer_architecture(sd: dict) -> str:
         return "Transformer"
     if any(re.match(r"model\.\d+\.(lstm|transformer)\.", k) for k in sd):
         # RecurrentLongformer's ModuleList of blocks (CRF.py:764-858) — the
-        # LongT5 variant was caught above by its .LocalSelfAttention. keys,
-        # so what remains routes to the curated not-convertible error
+        # LongT5 variant was caught above by its .LocalSelfAttention. keys
         return "RecurrentLongformer"
     if any(k.startswith("crf.") for k in sd):
         if any(k.startswith("model.transformer_encoder.") for k in sd):
@@ -328,17 +327,13 @@ def _convert_state_dict(sd: dict, architecture: str):
         )
 
     if architecture in ("BiLSTMRestrictedMHA", "RecurrentLongformer"):
-        raise ValueError(
-            "RecurrentLongformer checkpoints depend on the reference's "
-            "pyc-only models/longformer_noffn module (Python 3.8/3.10 "
-            "bytecode; unloadable here) — its LongformerLayer state_dict "
-            "layout is not oracle-verifiable, so conversion is not offered"
-        )
+        return _convert_recurrent_longformer(sd)
 
     raise ValueError(
         f"no conversion rule for architecture {architecture!r}; supported: "
         "BiLSTM, BiLSTMLateFusion, biLSTMCRF, SimpleBiLSTM, MLP, "
-        "SheikhBiLSTM, SwitchBiLSTM, Transformer, RecurrentLongT5"
+        "SheikhBiLSTM, SwitchBiLSTM, Transformer, RecurrentLongT5, "
+        "RecurrentLongformer"
     )
 
 
@@ -490,6 +485,77 @@ def _convert_recurrent_longt5(sd: dict):
         loss_fn="CrossEntropy" if out > 1 else "BinaryCrossEntropy",
     )
     return {"blocks": blocks, "cls": cls}, cfg, "RecurrentLongT5"
+
+
+def _convert_recurrent_longformer(sd: dict):
+    """RecurrentLongformer / BiLSTMRestrictedMHA (models/CRF.py:764-858): a
+    ModuleList of [RNN-wrapped BiLSTM -> vendored "noffn" LongformerLayer]
+    blocks, an optional trailing RNN (last_bilstm=True, the TextSegmenter
+    default), and `classification`. The vendored layer ships as 3.10
+    bytecode only; its state_dict layout and forward glue were recovered by
+    direct bytecode decoding (tools/pyc310.py, receipts in
+    tests/test_reference_pyc_glue.py): the layer holds ONLY
+    `attention.self.{query,key,value}` plus HF's never-executed
+    `{query,key,value}_global` projections (reported as unconsumed), no
+    SelfOutput/FFN/LayerNorm. separate_forward_backward is recovered from
+    the query projection's width (== hidden_dim, vs 2*hidden_dim for the
+    fused path). nheads / attention_window are NOT recoverable from tensor
+    shapes — the reference re-supplies them at load time (predict.py:228-241)
+    — so the reference CLI defaults (8 / 120) are assumed; pass
+    --nheads/--attention_window to override."""
+    from multimodaltopicsegmentation_tpu.models.base import TaggerConfig
+
+    if "model.0.lstm.rnn.weight_ih_l0" not in sd:
+        raise ValueError(
+            "checkpoint has RecurrentLongformer-shaped keys but no "
+            "'model.{i}.lstm.rnn.*' block prefix; only reference "
+            "RecurrentLongformer TextSegmenter checkpoints "
+            "(models/CRF.py:764-858, saved through Lightning) have a "
+            "conversion rule"
+        )
+    blocks = []
+    i = 0
+    while f"model.{i}.lstm.rnn.weight_ih_l0" in sd:
+        b = f"model.{i}"
+        stack = _convert_rnn_stack(sd, f"{b}.lstm.rnn", 1, True, True)
+        a = f"{b}.transformer.model.attention.self"
+        blocks.append({
+            "lstm": stack[0],
+            "attn": {
+                "q": _linear(sd, f"{a}.query"),
+                "k": _linear(sd, f"{a}.key"),
+                "v": _linear(sd, f"{a}.value"),
+            },
+        })
+        i += 1
+
+    _, hidden, in_dim, _, _ = _rnn_geometry(sd, "model.0.lstm.rnn")
+    attn_dim = blocks[0]["attn"]["q"]["w"].shape[0]
+    if attn_dim != hidden:  # == 2*hidden for the fused (sep_fb=False) path
+        raise ValueError(
+            "this RecurrentLongformer checkpoint was trained with "
+            "separate_forward_backward=False (attention width == 2*hidden); "
+            "TextSegmenter only builds the default sep_fb=True configuration "
+            "(lightning_model.py:215-216) and the registry mirrors it — "
+            "pass the params to models.transformers.RecurrentLongformer("
+            "cfg, separate_forward_backward=False) directly"
+        )
+    params = {"blocks": blocks}
+    if f"model.{i}.rnn.weight_ih_l0" in sd:  # last_bilstm tail
+        params["final_lstm"] = _convert_rnn_stack(
+            sd, f"model.{i}.rnn", 1, True, True
+        )[0]
+    cls = _linear(sd, "classification")
+    params["cls"] = cls
+    out = cls["w"].shape[1]
+    cfg = TaggerConfig(
+        embedding_dim=in_dim, hidden_dim=hidden, num_layers=i,
+        tagset_size=max(out, 2), nheads=8, attention_window=120,
+        loss_fn="CrossEntropy" if out > 1 else "BinaryCrossEntropy",
+    )
+    # the TextSegmenter dispatch name (lightning_model.py:215), which is what
+    # results.txt records and the registry resolves
+    return params, cfg, "BiLSTMRestrictedMHA"
 
 
 def load_torch_checkpoint(path: str, architecture: str = None):

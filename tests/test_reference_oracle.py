@@ -8,9 +8,12 @@ weights into the framework via the production converter
 boundary-identical decode and matching loss values on CPU.
 
 The only scaffolding needed to execute the reference in this image is a
-one-line stub for `models.longformer_noffn`, which ships as .pyc only
-(/root/reference/models/__pycache__) and is unused by the LSTM-family
-classes under test.
+stub for `models.longformer_noffn`, which ships as .pyc only
+(/root/reference/models/__pycache__ — Python 3.8/3.10 bytecode, unloadable
+under 3.12). The stub is FUNCTIONAL: HF's own LongformerSelfAttention in
+exactly the glue recovered from the 3.10 bytecode by tools/pyc310.py, each
+behavior pinned in tests/test_reference_pyc_glue.py — so even the
+RecurrentLongformer family runs the reference's own CRF.py end to end.
 
 Reference defects worked around here (each documented at its test; see
 SURVEY.md §7 "Known reference defects"):
@@ -48,13 +51,71 @@ from multimodaltopicsegmentation_tpu.tools.convert_reference_checkpoint import (
 REF = "/root/reference"
 
 
+def _make_noffn_stub():
+    """Functional stand-in for the reference's pyc-only longformer_noffn
+    module: HF's own importable LongformerSelfAttention wrapped in EXACTLY
+    the glue recovered from the 3.10 bytecode, fact for fact pinned by
+    tests/test_reference_pyc_glue.py:
+    - LongformerLayer.forward derives is_index_masked/global from the
+      attention mask, runs attention only, and returns the bare context
+      TENSOR (no SelfOutput: no o-proj, no residual, no LayerNorm);
+    - external_input feeds ONLY the key projection (transposed (0,1) like
+      hidden_states); queries and values come from hidden_states;
+    - layer_id defaults to 0, so attention_window lists use element 0.
+    The module layout (attention.self.{query,key,value}) matches the
+    vendored state_dict, so checkpoints saved through this stub have the
+    reference layout."""
+    from transformers.models.longformer.modeling_longformer import (
+        LongformerSelfAttention,
+    )
+
+    class _KeyFromExternal(torch.nn.Module):
+        def __init__(self, lin, src):
+            super().__init__()
+            self.lin = lin
+            self.src = src.transpose(0, 1)
+
+        def forward(self, _x):
+            return self.lin(self.src)
+
+    class LongformerLayer(torch.nn.Module):
+        def __init__(self, config, layer_id=0):
+            super().__init__()
+            attention = torch.nn.Module()
+            attention.add_module("self", LongformerSelfAttention(config, layer_id))
+            self.attention = attention
+
+        def forward(self, hidden_states=None, attention_mask=None,
+                    external_input=None):
+            att = getattr(self.attention, "self")
+            is_index_masked = attention_mask < 0
+            is_index_global_attn = attention_mask > 0
+            orig_key = att.key
+            if external_input is not None:
+                att.key = _KeyFromExternal(orig_key, external_input)
+            try:
+                outs = att(
+                    hidden_states,
+                    attention_mask=attention_mask,
+                    layer_head_mask=None,
+                    is_index_masked=is_index_masked,
+                    is_index_global_attn=is_index_global_attn,
+                    is_global_attn=False,
+                )
+            finally:
+                att.key = orig_key
+            return outs[0]
+
+    stub = types.ModuleType("models.longformer_noffn")
+    stub.LongformerLayer = LongformerLayer
+    return stub
+
+
 @pytest.fixture(scope="module")
 def ref():
     """Import the reference's real model modules (read-only, never copied)."""
     if "models.longformer_noffn" not in sys.modules:
-        stub = types.ModuleType("models.longformer_noffn")
-        stub.LongformerLayer = type("LongformerLayer", (), {})
-        sys.modules["models.longformer_noffn"] = stub
+        sys.modules["models.longformer_noffn"] = _make_noffn_stub()
     sys.path.insert(0, REF)
     try:
         import importlib
@@ -821,8 +882,66 @@ def test_converter_recurrent_longt5_checkpoint(ref, rng):
 def test_converter_rejects_impossible_architectures():
     with pytest.raises(ValueError, match="cannot produce checkpoints"):
         convert_state_dict({}, "Transformer-CRF")
-    with pytest.raises(ValueError, match="pyc-only"):
+    with pytest.raises(ValueError, match="block prefix"):
         convert_state_dict({}, "BiLSTMRestrictedMHA")
+
+
+@pytest.mark.slow
+def test_recurrent_longformer_oracle(ref, rng):
+    """The reference's RecurrentLongformer (models/CRF.py:764-858) run END TO
+    END through the reference's own CRF.py: its pyc-only longformer_noffn
+    dependency is satisfied by the functional stub above, whose every
+    behavior is a bytecode receipt in tests/test_reference_pyc_glue.py (the
+    layer is attention-only with NO o-proj/residual/LayerNorm, and
+    external_input feeds only the key projection). Weights cross through the
+    production converter; decode must be boundary-identical, scores and loss
+    must match. L is pinned to 3600 by the reference's own asserts
+    (models/CRF.py:670,675,681)."""
+    torch.manual_seed(31)
+    D, H, layers, heads, window = 16, 8, 2, 2, 4
+    L = 3600  # hard-coded in the reference's block asserts
+    tm = ref.CRF.RecurrentLongformer(
+        2, D, H, num_layers=layers, nheads=heads, dropout_in=0.0,
+        dropout_out=0.0, loss_fn="FocalLoss", window_size=window,
+    ).eval()
+    # the stub produced the vendored state_dict layout (attention.self.*)
+    assert any(
+        ".transformer.model.attention.self.query.weight" in k
+        for k in tm.state_dict()
+    )
+
+    params, cfg, arch = transplant(tm)
+    assert arch == "BiLSTMRestrictedMHA"
+    assert (cfg.embedding_dim, cfg.hidden_dim, cfg.num_layers) == (D, H, layers)
+    # nheads/window (and Focal-vs-BCE, indistinguishable from the width-1
+    # head) are not recoverable from shapes — the reference re-supplies them
+    # at load time (predict.py:228-241); override like predict does
+    cfg = dataclasses.replace(
+        cfg, nheads=heads, attention_window=window, loss_fn="FocalLoss"
+    )
+    model = build(arch, cfg)
+
+    x = rng.standard_normal((2, L, D)).astype(np.float32)
+    lengths = np.asarray([L, L - 70], np.int64)
+    tags = (rng.random((2, L)) < 0.2).astype(np.float32)
+    tags = np.where(np.arange(L)[None, :] >= lengths[:, None], 0.0, tags)
+
+    with torch.no_grad():
+        scores_t, ref_tags = tm(torch.from_numpy(x), torch.from_numpy(lengths), 0.4)
+    decode = jax.jit(lambda p, a, l: model.decode(p, a, l, 0.4))
+    scores_j, tags_j = decode(params, jnp.asarray(x), jnp.asarray(lengths))
+    for b, Lb in enumerate(lengths):
+        np.testing.assert_allclose(
+            np.asarray(scores_j)[b, :Lb], scores_t.numpy()[b, :Lb], atol=2e-4
+        )
+    assert_boundaries_identical(tags_j, ref_tags, lengths)
+
+    with torch.no_grad():
+        want = tm.loss(
+            torch.from_numpy(x), torch.from_numpy(lengths), torch.from_numpy(tags)
+        ).item()
+    got = model.loss(params, jnp.asarray(x), jnp.asarray(lengths), jnp.asarray(tags))
+    np.testing.assert_allclose(float(got), want, rtol=1e-4, atol=1e-6)
 
 
 def test_predict_cli_loads_converted_transformer_checkpoint(ref, rng, tmp_path):
@@ -882,15 +1001,18 @@ def test_predict_cli_loads_converted_transformer_checkpoint(ref, rng, tmp_path):
 
 def test_longformer_external_kv_block_oracle(rng):
     """RecurrentLongformer's external_input trick (models/CRF.py:673-679):
-    the fwd-LSTM half queries the bwd-LSTM half's keys/values inside a
-    Longformer sliding-chunks attention. The vendored longformer_noffn module
-    ships only as 3.8/3.10 bytecode (unloadable on this image's 3.12), but
-    HF's own LongformerSelfAttention IS importable — here its key/value
-    projections are redirected to the external stream so HF's full forward
-    (sliding-chunks matmuls, diagonal masking, padding plumbing) runs the
-    external-KV semantics, and the framework's local_attention must match.
-    The only part this cannot pin down is the pyc's private glue around the
-    attention call (residual/LayerNorm placement), documented in README."""
+    the fwd-LSTM half queries the bwd-LSTM half's KEYS inside a Longformer
+    sliding-chunks attention — values stay on the forward half (the vendored
+    pyc's `value_vectors = self.value(hidden_states)` is unconditional;
+    bytecode receipt in tests/test_reference_pyc_glue.py). The vendored
+    longformer_noffn module ships only as 3.8/3.10 bytecode (unloadable on
+    this image's 3.12), but HF's own LongformerSelfAttention IS importable —
+    here its key projection is redirected to the external stream so HF's
+    full forward (sliding-chunks matmuls, diagonal masking, padding
+    plumbing) runs the external-key semantics, and the framework's
+    local_attention must match. The surrounding glue (attention-only layer,
+    no residual/LayerNorm) is recovered from the bytecode and oracled
+    end-to-end in test_recurrent_longformer_oracle."""
     import torch as t
     from transformers import LongformerConfig
     from transformers.models.longformer.modeling_longformer import (
@@ -934,7 +1056,6 @@ def test_longformer_external_kv_block_oracle(rng):
 
     ext = torch.from_numpy(h_bac)
     hf.key = _FromExternal(hf.key, ext)
-    hf.value = _FromExternal(hf.value, ext)
 
     with torch.no_grad():
         want = hf(
@@ -952,7 +1073,7 @@ def test_longformer_external_kv_block_oracle(rng):
     )
     q = split_heads(proj(jnp.asarray(h_for), "query"), heads)
     k = split_heads(proj(jnp.asarray(h_bac), "key.lin"), heads)
-    v = split_heads(proj(jnp.asarray(h_bac), "value.lin"), heads)
+    v = split_heads(proj(jnp.asarray(h_for), "value"), heads)
     mask = jnp.asarray((np.arange(L)[None] < lengths[:, None]).astype(np.float32))
     got = np.asarray(merge_heads(local_attention(q, k, v, window, mask)))
 
