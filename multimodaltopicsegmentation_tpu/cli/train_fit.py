@@ -187,7 +187,10 @@ def main(args):
 
         mesh = make_mesh(model_parallel=1)
 
-    if args.architecture in ("Transformer", "BiLSTMRestrictedMHA"):
+    if args.architecture in ("Transformer", "BiLSTMRestrictedMHA",
+                             "RecurrentLongformer"):
+        # RecurrentLongformer is the registry alias for BiLSTMRestrictedMHA;
+        # both must land in the same 3600-truncation family
         truncate, tv = True, 3600
     else:
         truncate, tv = False, 100

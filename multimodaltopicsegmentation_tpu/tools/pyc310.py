@@ -23,7 +23,7 @@ a test).
 from __future__ import annotations
 
 import struct
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Any, Dict, List, Optional, Tuple
 
 MAGIC_310 = 3439  # CPython 3.10 (accept the whole 3.10 range below)

@@ -34,9 +34,12 @@ def ref():
     import importlib
 
     if "models.longformer_noffn" not in sys.modules:
-        stub = types.ModuleType("models.longformer_noffn")
-        stub.LongformerLayer = type("LongformerLayer", (), {})
-        sys.modules["models.longformer_noffn"] = stub
+        # the FUNCTIONAL stub shared with test_reference_oracle.py — an
+        # inert one here would permanently bind an unusable LongformerLayer
+        # into models.RestrictedTransformerLayer when this file runs first
+        from tests.reference_stub import make_noffn_stub
+
+        sys.modules["models.longformer_noffn"] = make_noffn_stub()
     if "pytorch_lightning" not in sys.modules:
         pl = types.ModuleType("pytorch_lightning")
         pl.LightningModule = torch.nn.Module

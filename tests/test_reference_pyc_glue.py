@@ -45,8 +45,9 @@ def _pyc(module: str) -> Code:
 
 
 def _method(root: Code, cls: str, name: str) -> Code:
-    for c in iter_codes(find_code(root, cls)):
-        if c is not root and c.name == name:
+    body = find_code(root, cls)
+    for c in iter_codes(body):
+        if c is not body and c.name == name:
             return c
     raise KeyError(f"{cls}.{name}")
 
@@ -154,10 +155,17 @@ def test_decoder_full_breadth():
             n_instr += len(instrs)
             for ins in instrs:
                 if ins.opname in jumps and ins.arg is not None:
-                    assert 0 <= 2 * ins.arg <= len(code.code) + 2 * ins.arg, ins
                     if ins.opname in ("JUMP_ABSOLUTE", "POP_JUMP_IF_FALSE",
-                                      "POP_JUMP_IF_TRUE"):
-                        assert 2 * ins.arg < len(code.code), (code.name, ins)
+                                      "POP_JUMP_IF_TRUE",
+                                      "JUMP_IF_FALSE_OR_POP",
+                                      "JUMP_IF_TRUE_OR_POP",
+                                      "JUMP_IF_NOT_EXC_MATCH"):
+                        # absolute target, in instruction units
+                        assert 0 <= 2 * ins.arg < len(code.code), (code.name, ins)
+                    else:
+                        # relative: target = offset + 2 + 2*arg
+                        assert ins.offset + 2 + 2 * ins.arg <= len(code.code), (
+                            code.name, ins)
     assert n_codes > 150 and n_instr > 10000  # measured: 196 / ~14k
 
 
