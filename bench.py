@@ -172,6 +172,20 @@ def lstm_train_step_flops(B, L, D, H, layers) -> float:
     return 3.0 * fwd
 
 
+def longdoc_train_step_flops(B, L, D, d_ff, nlayers, windows) -> float:
+    """Analytic FLOPs of one flagship long-document transformer train step:
+    per layer, q/k/v/o projections + banded scores/weighted-sum over the
+    layer's window span + FFN; forward 1x + backward 2x + one full forward
+    recompute for per-layer rematerialization = 4x forward."""
+    fwd = 0.0
+    for w in windows:
+        fwd += 2.0 * B * L * 4 * D * D          # q/k/v/o
+        fwd += 2.0 * 2 * B * L * w * D          # scores + weighted sum
+        fwd += 2.0 * B * L * 2 * D * d_ff       # FFN
+    fwd += 2.0 * B * L * D                       # classifier head
+    return 4.0 * fwd
+
+
 # public bf16 peak TFLOP/s per chip by device kind (dense matmul)
 TPU_PEAKS_TFLOPS = {
     "TPU v5 lite": 197.0,  # v5e
@@ -294,6 +308,56 @@ def bench_train_step():
         float(loss)
         dt = (time.time() - t0) / 20
     return B * L / dt, dt, lstm_train_step_flops(B, L, Dm, H, LAYERS)
+
+
+def bench_longdoc_step():
+    """Flagship long-document transformer train step (docs/PERFORMANCE.md:
+    batch 10 x 3600 units, D=768, d_ff=256, 2 layers, pyramidal windows
+    [240,120], per-layer remat, focal, Adam) — the flash-attention Pallas
+    pair's headline. Returns (step seconds, analytic FLOPs/step)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from multimodaltopicsegmentation_tpu.models.base import TaggerConfig
+    from multimodaltopicsegmentation_tpu.models.registry import build
+    from multimodaltopicsegmentation_tpu.models.transformers import (
+        pyramidal_windows,
+    )
+    from multimodaltopicsegmentation_tpu.train.loop import make_optimizer
+
+    B, L, Dm, DFF, NL, W = 10, 3600, 768, 256, 2, 120
+    cfg = TaggerConfig(
+        embedding_dim=Dm, hidden_dim=DFF, num_layers=NL, nheads=8,
+        attention_window=W, loss_fn="FocalLoss",
+    )
+    arch = build("Transformer", cfg)
+    params = arch.init(jax.random.PRNGKey(0))
+    tx = make_optimizer("Adam", 1e-3)
+    state = tx.init(params)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((B, L, Dm)), jnp.float32)
+    tags = jnp.asarray((rng.random((B, L)) < 0.05).astype(np.float32))
+    lengths = jnp.asarray(np.full((B,), L, np.int32))
+
+    def step(params, state, x, lengths, tags, rng):
+        loss, g = jax.value_and_grad(
+            lambda p: arch.loss(p, x, lengths, tags, rng=rng)
+        )(params)
+        u, state = tx.update(g, state, params)
+        return optax.apply_updates(params, u), state, loss
+
+    js = jax.jit(step, donate_argnums=(0, 1))
+    k = jax.random.PRNGKey(1)
+    best = float("inf")
+    for _trial in range(2):
+        t0 = time.time()
+        for _ in range(15):
+            params, state, loss = js(params, state, x, lengths, tags, k)
+        float(loss)  # scalar fence
+        best = min(best, (time.time() - t0) / 15)
+    flops = longdoc_train_step_flops(B, L, Dm, DFF, NL, pyramidal_windows(W, NL))
+    return best, flops
 
 
 def _retry(fn, attempts=2, wait=5):
@@ -531,6 +595,25 @@ def main():
 
     if enriched:
         print(json.dumps(record), flush=True)
+
+    # --- final stage: flagship long-document transformer train step -------
+    # (batch 10 x 3600 units, D=768, d_ff=256, 2 layers, pyramidal windows
+    # [240,120], remat, focal, Adam — the flash-attention headline of
+    # docs/PERFORMANCE.md). Printed as ANOTHER full record so the driver's
+    # last-line parse picks it up, but only AFTER the enriched record is
+    # already out: a cold/slow remote compile here can cost minutes and must
+    # never cost the earlier measurements.
+    try:
+        _log("extras: compiling+measuring the long-document train step")
+        ld_step, ld_flops = _retry(bench_longdoc_step)
+        record["longdoc_step_ms"] = round(ld_step * 1e3, 1)
+        ld_tflops = ld_flops / ld_step / 1e12
+        record["longdoc_tflops"] = round(ld_tflops, 1)
+        if peak:
+            record["longdoc_mfu_pct"] = round(100.0 * ld_tflops / peak, 1)
+        print(json.dumps(record), flush=True)
+    except Exception as e:  # noqa: BLE001
+        _log(f"longdoc side-bench failed ({e})")
 
 
 if __name__ == "__main__":
