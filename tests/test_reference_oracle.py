@@ -944,6 +944,141 @@ def test_predict_cli_loads_converted_transformer_checkpoint(ref, rng, tmp_path):
         assert [int(t) for t in np.asarray(tags, bool)] == [int(v) for v in want[0]]
 
 
+@pytest.mark.slow
+def test_recurrent_longformer_fused_mode_oracle(ref, rng):
+    """The separate_forward_backward=False branch: the WHOLE 2H BiLSTM
+    output queries/keys/values itself through the same attention-only layer
+    (models/CRF.py:778-784 passes the flag through; the vendored layer then
+    sees no external_input). The reference can only EXECUTE this mode with
+    num_layers=1 and last_bilstm=False: its stacked blocks and trailing RNN
+    are constructed with input width `hidden_dim` (models/CRF.py:780,787)
+    while a fused block emits 2*hidden_dim — a latent shape crash
+    (reproduced: torch 'mat1 and mat2 shapes cannot be multiplied'). The
+    framework's else-branch chains any depth (in_dim follows attn_dim);
+    parity is proven on the one configuration the reference runs.
+    TextSegmenter never builds this mode, so the production converter
+    rejects such checkpoints (width == 2*hidden) — the transplant here is
+    manual."""
+    torch.manual_seed(33)
+    D, H, heads, window = 16, 8, 2, 4
+    L = 3600
+    tm = ref.CRF.RecurrentLongformer(
+        2, D, H, num_layers=1, nheads=heads, dropout_in=0.0,
+        dropout_out=0.0, loss_fn="FocalLoss", window_size=window,
+        separate_forward_backward=False, last_bilstm=False,
+    ).eval()
+    sd = {f"model.{k}": v for k, v in tm.state_dict().items()}
+    with pytest.raises(ValueError, match="separate_forward_backward=False"):
+        convert_state_dict(sd, "BiLSTMRestrictedMHA")
+
+    from multimodaltopicsegmentation_tpu.models.transformers import (
+        RecurrentLongformer,
+    )
+    from multimodaltopicsegmentation_tpu.tools.convert_reference_checkpoint import (
+        _convert_rnn_stack,
+        _linear,
+    )
+
+    cfg = TaggerConfig(
+        embedding_dim=D, hidden_dim=H, num_layers=1, nheads=heads,
+        attention_window=window, loss_fn="FocalLoss",
+    )
+    model = RecurrentLongformer(
+        cfg, separate_forward_backward=False, last_bilstm=False
+    )
+    sd = {k: v for k, v in tm.state_dict().items()}
+    a = "model.0.transformer.model.attention.self"
+    params = jax.tree_util.tree_map(jnp.asarray, {
+        "blocks": [{
+            "lstm": _convert_rnn_stack(sd, "model.0.lstm.rnn", 1, True, True)[0],
+            "attn": {
+                "q": _linear(sd, f"{a}.query"),
+                "k": _linear(sd, f"{a}.key"),
+                "v": _linear(sd, f"{a}.value"),
+            },
+        }],
+        "cls": _linear(sd, "classification"),
+    })
+
+    x = rng.standard_normal((2, L, D)).astype(np.float32)
+    lengths = np.asarray([L, L - 41], np.int64)
+    with torch.no_grad():
+        scores_t, ref_tags = tm(torch.from_numpy(x), torch.from_numpy(lengths), 0.4)
+    decode = jax.jit(lambda p, a, l: model.decode(p, a, l, 0.4))
+    scores_j, tags_j = decode(params, jnp.asarray(x), jnp.asarray(lengths))
+    for b, Lb in enumerate(lengths):
+        np.testing.assert_allclose(
+            np.asarray(scores_j)[b, :Lb], scores_t.numpy()[b, :Lb], atol=2e-4
+        )
+    assert_boundaries_identical(tags_j, ref_tags, lengths)
+
+
+@pytest.mark.slow
+def test_predict_cli_loads_converted_recurrent_longformer_checkpoint(
+    ref, rng, tmp_path
+):
+    """End to end: reference RecurrentLongformer torch checkpoint (saved
+    through the bytecode-receipted stub, so the state_dict has the vendored
+    layout) -> tools/convert_reference_checkpoint.py -> cli/predict.py
+    produces the torch model's exact boundaries. Docs are 3600 units — the
+    length the reference's own asserts pin."""
+    import os
+    import pickle
+
+    torch.manual_seed(34)
+    D, H, layers, heads, window = 16, 8, 1, 2, 4
+    L = 3600
+    tm = ref.CRF.RecurrentLongformer(
+        2, D, H, num_layers=layers, nheads=heads, dropout_in=0.0,
+        dropout_out=0.0, loss_fn="FocalLoss", window_size=window,
+    ).eval()
+
+    raw = str(tmp_path / "ref.ckpt")
+    torch.save(
+        {"state_dict": {f"model.{k}": v for k, v in tm.state_dict().items()}}, raw
+    )
+
+    from multimodaltopicsegmentation_tpu.tools.convert_reference_checkpoint import (
+        convert_checkpoint,
+    )
+
+    conv = str(tmp_path / "best_model")
+    _, cfg, arch = convert_checkpoint(raw, conv, nheads=heads, attention_window=window)
+    assert arch == "BiLSTMRestrictedMHA"
+    assert cfg.nheads == heads and cfg.attention_window == window
+
+    from tests.synth import make_synthetic_corpus
+
+    emb_dir, _lab, _split = make_synthetic_corpus(
+        str(tmp_path / "c"), n_docs=2, dim=D, min_units=L, max_units=L + 1
+    )
+
+    results_txt = tmp_path / "results.txt"
+    results_txt.write_text(
+        "Sentence encoder: CNN\nNeural architecture: BiLSTMRestrictedMHA\n"
+        f"Hidden units: {H}\nNumber of layers: {layers}\n"
+    )
+    import multimodaltopicsegmentation_tpu.cli.predict as P
+
+    if ("CNN", D) not in P.ENCODER_DIMS:
+        P.ENCODER_DIMS.append(("CNN", D))
+
+    pred = P.Predictor(str(results_txt), conv, threshold=0.4)
+    exp = str(tmp_path / "pexp")
+    results = pred.predict(emb_dir, exp, write_audio_segments=False, batch_size=2)
+    assert len(results) == 2
+
+    with open(os.path.join(exp, "results.pkl"), "rb") as f:
+        res = pickle.load(f)
+    for name, tags in res.items():
+        emb = np.load(os.path.join(emb_dir, name)).astype(np.float32)
+        with torch.no_grad():
+            _s, want = tm(
+                torch.from_numpy(emb[None]), torch.tensor([len(emb)]), 0.4
+            )
+        assert [int(t) for t in np.asarray(tags, bool)] == [int(v) for v in want[0]]
+
+
 def test_longformer_external_kv_block_oracle(rng):
     """RecurrentLongformer's external_input trick (models/CRF.py:673-679):
     the fwd-LSTM half queries the bwd-LSTM half's KEYS inside a Longformer
