@@ -76,6 +76,54 @@ def _contains(ops, pattern):
 # ---------------------------------------------------------------------------
 
 
+def test_unmarshaller_roundtrips_cpython_marshal():
+    """The marshal v4 container/atom format is version-stable, so THIS
+    interpreter's own marshal.dumps is an independent oracle for the
+    unmarshal layer (ref-slot bookkeeping included — marshal interns
+    repeated objects as back-references)."""
+    import marshal
+    import random
+
+    from multimodaltopicsegmentation_tpu.tools.pyc310 import _Unmarshaler
+
+    rnd = random.Random(7)
+
+    def value(depth):
+        kinds = ["int", "big", "float", "str", "bytes", "bool", "none"]
+        if depth < 3:
+            kinds += ["list", "tuple", "dict", "fset"]
+        k = rnd.choice(kinds)
+        if k == "int":
+            return rnd.randint(-2**30, 2**30)
+        if k == "big":
+            return rnd.randint(-2**80, 2**80)  # 'l' multi-digit PyLong
+        if k == "float":
+            return rnd.random() * 1e6 - 5e5
+        if k == "str":
+            return "".join(rnd.choice("abcXYZ012 éü") for _ in range(rnd.randint(0, 12)))
+        if k == "bytes":
+            return bytes(rnd.randrange(256) for _ in range(rnd.randint(0, 8)))
+        if k == "bool":
+            return rnd.random() < 0.5
+        if k == "none":
+            return None
+        n = rnd.randint(0, 4)
+        if k == "list":
+            return [value(depth + 1) for _ in range(n)]
+        if k == "tuple":
+            return tuple(value(depth + 1) for _ in range(n))
+        if k == "dict":
+            return {f"k{i}": value(depth + 1) for i in range(n)}
+        return frozenset(rnd.randint(0, 99) for _ in range(n))
+
+    shared = ("interned-and-shared", (1, 2.5))  # forces 'r' back-references
+    for trial in range(200):
+        obj = [shared, value(0), shared, value(0)]
+        blob = marshal.dumps(obj, 4)
+        got = _Unmarshaler(blob).load()
+        assert got == obj, (trial, obj)
+
+
 def test_decoder_ground_truth_focal_loss():
     """focal_loss.py's source is in the repo; the decoded 3.10 bytecode of
     sigmoid_focal_loss.__call__ must read off the known math."""
