@@ -344,3 +344,26 @@ def find_code(root: Code, qualpath: str) -> Code:
 
 def pretty(code: Code) -> str:
     return "\n".join(map(repr, disassemble(code)))
+
+
+def main(argv=None):
+    import argparse
+
+    ap = argparse.ArgumentParser(
+        description="Disassemble a CPython 3.10 .pyc (list code objects, or "
+        "dump one by dotted path, e.g. LongformerSelfOutput.forward)"
+    )
+    ap.add_argument("pyc", help="path to a cpython-310 .pyc")
+    ap.add_argument("path", nargs="?", default=None,
+                    help="dotted code path to disassemble (default: list)")
+    args = ap.parse_args(argv)
+    root = load_pyc(args.pyc)
+    if args.path is None:
+        for c in iter_codes(root):
+            print(f"{c.name}  args={c.varnames[:c.argcount]}")
+    else:
+        print(pretty(find_code(root, args.path)))
+
+
+if __name__ == "__main__":
+    main()
