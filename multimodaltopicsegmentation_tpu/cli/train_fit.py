@@ -164,7 +164,16 @@ def main(args):
     expert_parallel = {"auto": None, "on": True, "off": False}[
         getattr(args, "expert_parallel", "auto")
     ]
-    if pipeline_stages > 1 or sequence_shards > 1:
+    if getattr(args, "device_epochs", False):
+        # device-resident epoch windows run the plain single-device step:
+        # leave mesh=None and keep every parallel mode off
+        if pipeline_stages > 1 or sequence_shards > 1 or expert_parallel is True:
+            raise SystemExit(
+                "--device_epochs is exclusive with --pipeline_stages/"
+                "--sequence_shards/--expert_parallel on"
+            )
+        expert_parallel = False
+    elif pipeline_stages > 1 or sequence_shards > 1:
         # the pipeline / sequence shards own the devices; Trainer validates
         # architecture, divisibility and device count
         pass
@@ -492,6 +501,7 @@ def main(args):
                 pipeline_stages=pipeline_stages,
                 sequence_shards=sequence_shards,
                 expert_parallel=expert_parallel,
+                device_epochs=args.device_epochs or None,
             )
 
             from ..utils import profiling
@@ -771,6 +781,10 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument(
         "--expert_parallel", default="auto", choices=["auto", "on", "off"]
     )
+    # device-resident epoch windows (train/device_fit.py): K epochs per
+    # dispatch with scheduler/early-stop/checkpoint decisions on device;
+    # needs uniform batch shapes (ragged corpora fall back with a notice)
+    parser.add_argument("--device_epochs", "-de", action="store_true")
     # SwitchBiLSTM adaptation mode (the reference's TextSegmenter `switch`
     # parameter, lightning_model.py:227-241 — never exposed by its CLI)
     parser.add_argument("--switch", default="dense", choices=["dense", "lstm"])

@@ -189,6 +189,7 @@ class Trainer:
         pipeline_stages: int = 0,
         sequence_shards: int = 0,
         expert_parallel: Optional[bool] = None,
+        device_epochs: Optional[bool] = None,
     ):
         self.arch_name = architecture
         self.arch = registry.build(architecture, cfg)
@@ -208,6 +209,14 @@ class Trainer:
         self.zero_baseline = zero_baseline
         self.domain = registry.is_domain_adapt(architecture)
         self.double = registry.is_double_input(architecture)
+        # device-resident epoch windows (train/device_fit.py): run K epochs
+        # per dispatch with plateau-LR/early-stop/best-snapshot ON DEVICE.
+        # Requires uniform batch shapes and the plain single-device step;
+        # ragged corpora fall back to the host loop with a notice.
+        if device_epochs is None:
+            device_epochs = os.environ.get("MTS_DEVICE_EPOCHS", "0") == "1"
+        self.device_epochs = device_epochs
+        self._fit_window_cache: dict = {}
         # multi-chip: shard the train step over the ('data','model') mesh;
         # None or a 1-device mesh falls back to the plain jitted step
         self.mesh = mesh if (mesh is not None and mesh.size > 1) else None
@@ -277,6 +286,7 @@ class Trainer:
                 and self.pipe_mesh is None
                 and self.seq_mesh is None
                 and self.mesh is None
+                and not self.device_epochs  # the epoch windows own the step
                 and len(jax.devices()) >= 2
             )
         if expert_parallel:
@@ -465,8 +475,161 @@ class Trainer:
                 out[key] = np.pad(arr, widths, constant_values=fill)
         return out
 
+    # -- device-resident epoch windows ---------------------------------------
+    def _device_epochs_eligible(self, train_batches, valid_batches):
+        """The window program is shape-monomorphic: every train batch must
+        share one shape per key (likewise the valid batches among
+        themselves), and only the plain single-device step is scanned.
+        Returns (ok, reason)."""
+        if (self.mesh is not None or self.pipe_mesh is not None
+                or self.seq_mesh is not None or self.expert_mesh is not None):
+            raise ValueError(
+                "device_epochs runs the plain single-device step; it is "
+                "exclusive with mesh/pipeline_stages/sequence_shards/"
+                "expert_parallel"
+            )
+        if not train_batches:
+            return False, "no train batches"
+
+        def shapes(b):
+            return tuple(
+                (k, tuple(np.asarray(b[k]).shape))
+                for k in _DEVICE_KEYS if k in b and hasattr(b[k], "shape")
+            )
+
+        for name, group in (("train", train_batches), ("valid", valid_batches or [])):
+            want = shapes(group[0]) if group else None
+            for b in group[1:]:
+                if shapes(b) != want:
+                    return False, f"ragged {name} batch shapes"
+        return True, ""
+
+    def _stack_batches(self, batches):
+        """Host-stack uniform batches into one [NB, ...] pytree and ship it
+        through the device link ONCE (the device-fit analogue of
+        batches_to_device)."""
+        stack = {
+            "src": jnp.asarray(np.stack([np.asarray(b["src_tokens"]) for b in batches])),
+            "len": jnp.asarray(np.stack([np.asarray(b["src_lengths"]) for b in batches])),
+            "tgt": jnp.asarray(np.stack([np.asarray(b["tgt_tokens"]) for b in batches])),
+        }
+        if self.domain:
+            stack["domain"] = jnp.asarray(
+                np.stack([np.asarray(b["domain"]) for b in batches])
+            )
+        if self.double:
+            stack["x2"] = jnp.asarray(
+                np.stack([np.asarray(b["src_tokens2"]) for b in batches])
+            )
+        return stack
+
+    def _fit_device_epochs(self, train_batches, valid_batches):
+        """fit() with the epoch loop ON DEVICE (train/device_fit.py): one
+        dispatch + one packed loss pull per K-epoch window instead of
+        per-epoch tunnel round trips. Decision-for-decision the same
+        scheduler/early-stop/checkpoint semantics as the host loop; the
+        history and anomaly replay are reconstructed from the pulled
+        per-batch losses."""
+        from . import device_fit
+
+        window = int(os.environ.get("MTS_DEVICE_EPOCH_WINDOW", "10"))
+        nb = len(train_batches)
+        nv = len(valid_batches) if valid_batches else 0
+        weights = [
+            b.get("n_real", len(b["src_lengths"])) for b in (valid_batches or [])
+        ]
+
+        rng = jax.random.PRNGKey(self.seed)
+        rng, k_init = jax.random.split(rng)
+        params = self.arch.init(k_init)
+        self.tx = make_optimizer(self.optimizer_name, self.lr, self.clip)
+        opt_state = self.tx.init(params)
+
+        train_stack = self._stack_batches(train_batches)
+        valid_stack = self._stack_batches(valid_batches) if nv else None
+
+        key = (window, nb, nv, tuple(weights),
+               self.monitor == "training_loss")
+        if key not in self._fit_window_cache:
+            self._fit_window_cache[key] = device_fit.make_fit_window(
+                self.arch, self.tx,
+                window=window, n_valid=nv, val_weights=weights or None,
+                monitor_train=self.monitor == "training_loss",
+                patience=self.patience, no_early_stop=self.no_early_stop,
+                domain=self.domain, double=self.double,
+            )
+        window_fn = self._fit_window_cache[key]
+
+        carry = device_fit.init_carry(params, opt_state, rng, self.lr)
+        os.makedirs(self.check_dir, exist_ok=True)
+        history = []
+        anomaly_epoch = None
+        try:
+            e0, stopped = 0, False
+            while e0 < self.max_epochs and not stopped:
+                carry, packed = window_fn(
+                    carry, np.int32(e0), np.int32(self.max_epochs),
+                    train_stack, valid_stack,
+                )
+                tr, val, stops, ran = device_fit.unpack_window(packed, window, nb, nv)
+                for i in range(window):
+                    if not ran[i]:
+                        break
+                    epoch = e0 + i
+                    batch_losses = [float(x) for x in tr[i]]
+                    if self.detect_anomaly and not all(np.isfinite(batch_losses)):
+                        bad = int(np.flatnonzero(~np.isfinite(batch_losses))[0])
+                        anomaly_epoch = epoch
+                        raise FloatingPointError(
+                            f"detect_anomaly: non-finite training loss "
+                            f"{batch_losses[bad]} at epoch {epoch}, batch {bad} "
+                            f"(arch={self.arch_name}, lr={self.lr}; set "
+                            f"MTS_DETECT_ANOMALY=0 to train through it)"
+                        )
+                    train_loss = float(np.mean(batch_losses))
+                    val_loss = (
+                        float(np.average(val[i], weights=weights)) if nv else None
+                    )
+                    history.append({
+                        "epoch": epoch, "training_loss": train_loss,
+                        "val_loss": val_loss,
+                    })
+                    if stops[i]:
+                        stopped = True
+                        break
+                e0 += window
+        finally:
+            # one pull of the decision scalars; the host loop's rule — the
+            # snapshot exists unless the anomaly fired before any epoch
+            # finished its checkpoint logic (best_epoch tracks the DEVICE
+            # decision, so >= anomaly_epoch means "never improved before it")
+            best_epoch = int(carry["best_epoch"])
+            if anomaly_epoch is None or best_epoch < anomaly_epoch:
+                fname_val = float(carry["best_fname"])
+                self.best_model_path = os.path.join(
+                    self.check_dir,
+                    ckpt_lib.checkpoint_name(best_epoch, fname_val, 0.5),
+                )
+                ckpt_lib.save(
+                    self.best_model_path, carry["best_params"], self.cfg,
+                    self.arch_name,
+                    extra={"epoch": best_epoch,
+                           "monitored": float(carry["best"])},
+                )
+        self.params = carry["params"]
+        self.history = history
+        return self.params, history
+
     # -- fit ----------------------------------------------------------------
     def fit(self, train_batches: List[dict], valid_batches: Optional[List[dict]] = None):
+        if self.device_epochs:
+            ok, why = self._device_epochs_eligible(train_batches, valid_batches)
+            if ok:
+                return self._fit_device_epochs(train_batches, valid_batches)
+            import sys
+
+            print(f"device_epochs: falling back to the host epoch loop ({why})",
+                  file=sys.stderr)
         rng = jax.random.PRNGKey(self.seed)
         rng, k_init = jax.random.split(rng)
         params = self.arch.init(k_init)

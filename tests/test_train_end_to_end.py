@@ -109,6 +109,34 @@ def test_train_fit_cli_end_to_end(tmp_path):
     assert os.path.exists(os.path.join(exp, "Pk_fit_results.csv"))
 
 
+def test_train_fit_cli_device_epochs(tmp_path, capsys):
+    """--device_epochs end to end: with -bs covering the whole train split,
+    batch shapes are uniform, so the device-resident epoch windows actually
+    engage (no host-loop fallback notice) and produce the same artifact set."""
+    corpus = tmp_path / "corpus"
+    emb_dir, lab_file, split = make_synthetic_corpus(str(corpus), n_docs=10, dim=32)
+    exp = str(tmp_path / "exp_de")
+
+    from multimodaltopicsegmentation_tpu.cli.train_fit import build_parser, main
+
+    args = build_parser().parse_args([
+        "-exp", exp, "-arc", "BiLSTM", "-enc", "CNN",
+        "-ef", emb_dir, "-lf", lab_file, "-lr", "1e-2",
+        "-bs", "16", "-max", "6", "-vp", "0.2", "-pat", "5",
+        "-loss", "FocalLoss", "-s_last", "-ar", "-as",
+        "-split", split, "-hs", "-huss", "32", "-nlss", "1",
+        "-diss", "0.0", "-doss", "0.0", "-de",
+    ])
+    import multimodaltopicsegmentation_tpu.cli.train_fit as tf
+
+    tf.EMBEDDING_SIZES["CNN"] = 32
+    main(args)
+    assert "falling back to the host epoch loop" not in capsys.readouterr().err
+    txt = open(os.path.join(exp, "results.txt")).read()
+    assert "Mean Pk obtained is" in txt
+    assert os.path.exists(os.path.join(exp, "checkpoints", "best_model"))
+
+
 @pytest.mark.slow
 def test_train_fit_learns_on_easy_corpus(tmp_path):
     """With clear topic structure and enough epochs, Pk should beat the
