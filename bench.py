@@ -172,18 +172,21 @@ def lstm_train_step_flops(B, L, D, H, layers) -> float:
     return 3.0 * fwd
 
 
-def longdoc_train_step_flops(B, L, D, d_ff, nlayers, windows) -> float:
+def longdoc_train_step_flops(B, L, D, d_ff, nlayers, windows,
+                             remat=False) -> float:
     """Analytic FLOPs of one flagship long-document transformer train step:
     per layer, q/k/v/o projections + banded scores/weighted-sum over the
-    layer's window span + FFN; forward 1x + backward 2x + one full forward
-    recompute for per-layer rematerialization = 4x forward."""
+    layer's window span + FFN; forward 1x + backward 2x (= 3x forward), plus
+    one full forward recompute when per-layer rematerialization is on (4x).
+    The auto-remat policy (models/transformers._auto_remat) STORES layer
+    activations at this flagship shape on TPU, so the default is 3x."""
     fwd = 0.0
     for w in windows:
         fwd += 2.0 * B * L * 4 * D * D          # q/k/v/o
         fwd += 2.0 * 2 * B * L * w * D          # scores + weighted sum
         fwd += 2.0 * B * L * 2 * D * d_ff       # FFN
     fwd += 2.0 * B * L * D                       # classifier head
-    return 4.0 * fwd
+    return (4.0 if remat else 3.0) * fwd
 
 
 # public bf16 peak TFLOP/s per chip by device kind (dense matmul)
@@ -313,7 +316,7 @@ def bench_train_step():
 def bench_longdoc_step():
     """Flagship long-document transformer train step (docs/PERFORMANCE.md:
     batch 10 x 3600 units, D=768, d_ff=256, 2 layers, pyramidal windows
-    [240,120], per-layer remat, focal, Adam) — the flash-attention Pallas
+    [240,120], auto-remat, focal, Adam) — the flash-attention Pallas
     pair's headline. Returns (step seconds, analytic FLOPs/step)."""
     import jax
     import jax.numpy as jnp
@@ -356,7 +359,9 @@ def bench_longdoc_step():
             params, state, loss = js(params, state, x, lengths, tags, k)
         float(loss)  # scalar fence
         best = min(best, (time.time() - t0) / 15)
-    flops = longdoc_train_step_flops(B, L, Dm, DFF, NL, pyramidal_windows(W, NL))
+    windows = pyramidal_windows(W, NL)
+    remat = arch.encoder._use_remat(B, L)
+    flops = longdoc_train_step_flops(B, L, Dm, DFF, NL, windows, remat=remat)
     return best, flops
 
 
@@ -598,7 +603,7 @@ def main():
 
     # --- final stage: flagship long-document transformer train step -------
     # (batch 10 x 3600 units, D=768, d_ff=256, 2 layers, pyramidal windows
-    # [240,120], remat, focal, Adam — the flash-attention headline of
+    # [240,120], auto-remat, focal, Adam — the flash-attention headline of
     # docs/PERFORMANCE.md). Printed as ANOTHER full record so the driver's
     # last-line parse picks it up, but only AFTER the enriched record is
     # already out: a cold/slow remote compile here can cost minutes and must

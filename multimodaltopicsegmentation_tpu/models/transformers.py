@@ -29,6 +29,7 @@ TPU, blocked XLA elsewhere); everything is static-shape and jit-safe.
 """
 from __future__ import annotations
 
+import os
 from typing import List
 
 import jax
@@ -135,17 +136,63 @@ def bert_layer_apply(p, x, nheads, mask, window=None, train=False, rng=None,
     return x
 
 
+# Stored-activation headroom the auto-remat policy is willing to spend
+# (16 GB v5e HBM; leaves >3/4 for params, optimizer state, gradients and
+# the working set). Calibrated against XLA's compiled temp allocation at
+# the flagship 10x3600 shape — see _auto_remat and docs/PERFORMANCE.md.
+_REMAT_AUTO_BUDGET = 4 << 30
+
+
+def _auto_remat(B, L, d_model, d_ff, nheads, layer_windows, share=1):
+    """Trace-time per-layer rematerialization policy: store activations
+    when they comfortably fit, recompute when they would not.
+
+    Shapes are static under jit, so the choice is made per compiled
+    program. Remat was originally unconditional because the XLA banded
+    attention path materializes a [B,H,nb,block,3*block] score tensor per
+    layer (~GBs at the 3600-unit budget); the flash Pallas pairs (round 4)
+    keep score tiles in VMEM, which makes storing the remaining layer
+    activations cheap — measured 67.6 -> 50.1 ms/step at the flagship
+    10x3600 Longformer config and 117.7 -> 106.4 ms for RecurrentLongT5
+    (scripts/bench_longdoc_attention.py with MTS_REMAT=0).
+
+    Policy: on TPU with flash attention active, estimate the stored bytes
+    (~12 d_model-wide unit tensors + 2 d_ff-wide FFN intermediates per
+    layer, plus dense-layer softmax weights where a layer has no window;
+    flagship estimate 2.8 GB vs 2.28 GB measured compiled temp) and turn
+    remat OFF when `share` sibling encoder stacks of this size stay under
+    _REMAT_AUTO_BUDGET. Anywhere the banded XLA path serves (CPU, or
+    MTS_FLASH_ATTENTION=0), remat stays ON. MTS_REMAT=1/0 overrides the
+    heuristic in either direction.
+    """
+    env = os.environ.get("MTS_REMAT")
+    if env is not None:
+        return env != "0"
+    from ..ops.attention import _flash_default
+
+    if jax.devices()[0].platform != "tpu" or not _flash_default():
+        return True
+    est = 0
+    for w in layer_windows:
+        est += B * L * (12 * d_model + 2 * d_ff) * 4
+        if w is None:  # dense layer: stored softmax weights dominate
+            est += 2 * B * nheads * L * L * 4
+    return est * share > _REMAT_AUTO_BUDGET
+
+
 class _BertStyleEncoder:
     """Shared machinery for Classic / Longformer encoders.
 
-    `remat=True` (default) rematerializes each layer in the backward pass
-    (jax.checkpoint): at the reference's 3600-unit budget the banded
-    attention scores alone are ~GBs per layer, so training long documents
+    `remat=None` (default) resolves per compiled program via _auto_remat:
+    rematerialize each layer in the backward pass (jax.checkpoint) unless
+    flash attention is active and the stored activations fit comfortably.
+    At the reference's 3600-unit budget the XLA path's banded attention
+    scores alone are ~GBs per layer, so training long documents there
     needs recompute-instead-of-store.
     """
 
     def __init__(self, d_model, nheads, n_layers, d_ff, windows, drop,
-                 max_position=4096, remat=True):
+                 max_position=4096, remat=None):
         self.d_model = d_model
         self.nheads = nheads
         self.n_layers = n_layers
@@ -153,7 +200,7 @@ class _BertStyleEncoder:
         self.windows = windows  # None (dense) or per-layer window list
         self.drop = drop
         self.max_position = max_position
-        self.remat = remat
+        self.remat = remat  # True/False forces; None = auto policy
 
     def init(self, rng):
         ks = jax.random.split(rng, self.n_layers + 2)
@@ -194,10 +241,16 @@ class _BertStyleEncoder:
                     drop=self.drop, attend_fn=attend_fn,
                 )
 
-            if self.remat and train:
+            if train and self._use_remat(B, L):
                 one_layer = jax.checkpoint(one_layer)
             x = one_layer(lp, x, mask, k)
         return x
+
+    def _use_remat(self, B, L):
+        if self.remat is not None:
+            return self.remat
+        windows = self.windows if self.windows is not None else [None] * self.n_layers
+        return _auto_remat(B, L, self.d_model, self.d_ff, self.nheads, windows)
 
 
 # ---------------------------------------------------------------------------
@@ -206,7 +259,8 @@ class _BertStyleEncoder:
 
 
 class LongT5Encoder:
-    def __init__(self, d_model, nheads, n_layers, d_ff, window, drop, remat=True):
+    def __init__(self, d_model, nheads, n_layers, d_ff, window, drop, remat=None,
+                 remat_share=1):
         self.d_model = d_model
         self.nheads = nheads
         self.n_layers = n_layers
@@ -219,7 +273,10 @@ class LongT5Encoder:
         # block_len = r+1), so the two-sided band width is 2r
         self.window = 2 * window
         self.drop = drop
-        self.remat = remat
+        self.remat = remat  # True/False forces; None = auto policy
+        # sibling encoder stacks sharing the auto-remat budget (RecurrentLongT5
+        # interleaves num_layers single-layer stacks in one loss)
+        self.remat_share = remat_share
 
     def init(self, rng):
         ks = jax.random.split(rng, self.n_layers + 2)
@@ -258,10 +315,16 @@ class LongT5Encoder:
                 h = linear(lp["wo"], jax.nn.relu(linear(lp["wi"], h)))
                 return x + dropout(h, self.drop, k2, not train)
 
-            if self.remat and train:
+            if train and self._use_remat(B, L):
                 one_block = jax.checkpoint(one_block)
             x = one_block(lp, x, mask, p["rel_bias"], k1, k2)
         return rms_norm(p["ln_final"], x)
+
+    def _use_remat(self, B, L):
+        if self.remat is not None:
+            return self.remat
+        return _auto_remat(B, L, self.d_model, self.d_ff, self.nheads,
+                           [self.window] * self.n_layers, share=self.remat_share)
 
 
 # ---------------------------------------------------------------------------
@@ -355,7 +418,8 @@ class RecurrentLongT5(_RecurrentLongBlockBase):
         self.cfg = cfg
         w = cfg.attention_window
         self.t5 = [
-            LongT5Encoder(cfg.hidden_dim * 2, cfg.nheads, 1, cfg.hidden_dim * 2, w, cfg.dropout_in)
+            LongT5Encoder(cfg.hidden_dim * 2, cfg.nheads, 1, cfg.hidden_dim * 2, w,
+                          cfg.dropout_in, remat_share=cfg.num_layers)
             for _ in range(cfg.num_layers)
         ]
 

@@ -10,8 +10,12 @@ tunnel, not the chip).
 
 Also drives the T5-biased family: `RecurrentLongT5` at the same shape. At
 batch 10 the XLA banded path CRASHES the TPU worker (its [B,H,nb,block,3b]
-score tensor is 4.15 GB); the biased flash pair runs it at 117.7 ms/step.
+score tensor is 4.15 GB); the biased flash pair runs it at 106.4 ms/step.
 At batch 2 (both fit): XLA 39.4 vs flash 38.1 ms at identical loss.
+
+Remat follows the trace-time auto policy (stores activations at these
+flagship shapes on TPU: Transformer 50.1 ms/step vs 67.6 remat'd,
+RecurrentLongT5 106.4 vs 117.7); set MTS_REMAT=1/0 to force either leg.
 
 Usage: python scripts/bench_longdoc_attention.py [xla|flash|both] [arch] [batch]
   arch:  Transformer (default) | RecurrentLongT5

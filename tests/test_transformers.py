@@ -98,3 +98,83 @@ def test_transformer_learns_boundaries():
     _, pred = model.decode(params, x, lengths, 0.5)
     acc = float(jnp.mean((pred == (tags > 0)).astype(jnp.float32)))
     assert acc > 0.97, f"accuracy {acc}, loss {float(loss)}"
+
+
+# ---------------------------------------------------------------------------
+# Auto-remat policy (trace-time store-vs-recompute choice)
+# ---------------------------------------------------------------------------
+
+
+class _FakeTpu:
+    platform = "tpu"
+
+
+def _on_fake_tpu(monkeypatch, flash=True):
+    from multimodaltopicsegmentation_tpu.ops import attention as attn
+
+    monkeypatch.delenv("MTS_REMAT", raising=False)
+    monkeypatch.setattr(jax, "devices", lambda: [_FakeTpu()])
+    monkeypatch.setattr(attn, "_flash_default", lambda: flash)
+
+
+def test_auto_remat_env_override(monkeypatch):
+    from multimodaltopicsegmentation_tpu.models.transformers import _auto_remat
+
+    monkeypatch.setenv("MTS_REMAT", "0")
+    assert _auto_remat(64, 8192, 4096, 16384, 32, [None] * 48) is False
+    monkeypatch.setenv("MTS_REMAT", "1")
+    assert _auto_remat(1, 8, 4, 4, 1, [4]) is True
+
+
+def test_auto_remat_stays_on_off_tpu(monkeypatch):
+    from multimodaltopicsegmentation_tpu.models.transformers import _auto_remat
+
+    monkeypatch.delenv("MTS_REMAT", raising=False)
+    # CPU suite: jax.devices() is the real (cpu) backend
+    assert _auto_remat(1, 8, 4, 4, 1, [4]) is True
+
+
+def test_auto_remat_banded_path_keeps_remat(monkeypatch):
+    from multimodaltopicsegmentation_tpu.models.transformers import _auto_remat
+
+    _on_fake_tpu(monkeypatch, flash=False)
+    assert _auto_remat(1, 8, 4, 4, 1, [4]) is True
+
+
+def test_auto_remat_flagship_decisions(monkeypatch):
+    from multimodaltopicsegmentation_tpu.models.transformers import _auto_remat
+
+    _on_fake_tpu(monkeypatch)
+    # flagship Longformer 10x3600 D=768 d_ff=256 windows [240,120]:
+    # estimate 2.8 GB <= 4 GB budget -> store (measured 50.1 vs 67.6 ms)
+    assert _auto_remat(10, 3600, 768, 256, 8, [240, 120]) is False
+    # deeper stacks push the estimate (1.40 GB/layer) past the 4 GiB
+    # budget -> recompute
+    assert _auto_remat(10, 3600, 768, 256, 8, [240, 180, 120, 60]) is True
+    # dense layers at long length: stored softmax weights dominate -> recompute
+    assert _auto_remat(10, 3600, 768, 256, 8, [None, None]) is True
+    # ... but dense at short length fits fine -> store
+    assert _auto_remat(10, 512, 768, 256, 8, [None, None]) is False
+    # RecurrentLongT5 flagship: 1-layer stacks sharing the budget 2 ways
+    assert _auto_remat(10, 3600, 512, 512, 8, [240], share=2) is False
+    assert _auto_remat(10, 3600, 512, 512, 8, [240], share=8) is True
+
+
+def test_remat_choice_preserves_numerics():
+    """Forced remat on/off give identical losses and gradients (CPU)."""
+    cfg = TaggerConfig(embedding_dim=16, hidden_dim=16, num_layers=2, nheads=2,
+                       attention_window=4, loss_fn="FocalLoss")
+    x, tags, lengths = _data()
+    losses, grads = [], []
+    for forced in (True, False):
+        model = build("Transformer", cfg)
+        model.encoder.remat = forced
+        params = model.init(jax.random.PRNGKey(0))
+        loss, g = jax.value_and_grad(
+            lambda p: model.loss(p, x, lengths, tags))(params)
+        losses.append(float(loss))
+        grads.append(g)
+    assert losses[0] == pytest.approx(losses[1], rel=1e-6)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-7),
+        grads[0], grads[1])
