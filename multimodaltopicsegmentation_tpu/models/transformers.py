@@ -241,14 +241,20 @@ class _BertStyleEncoder:
                     drop=self.drop, attend_fn=attend_fn,
                 )
 
-            if train and self._use_remat(B, L):
+            if train and self._use_remat(B, L, attend_fn):
                 one_layer = jax.checkpoint(one_layer)
             x = one_layer(lp, x, mask, k)
         return x
 
-    def _use_remat(self, B, L):
+    def _use_remat(self, B, L, attend_fn=None):
         if self.remat is not None:
             return self.remat
+        if attend_fn is not None:
+            # a substituted attention op (the sequence-parallel halo variant)
+            # runs the banded XLA path (parallel/sequence.py use_pallas=False:
+            # halo'd masks are not prefix masks), whose stored score tensors
+            # the estimate below does not model — keep remat unless forced
+            return os.environ.get("MTS_REMAT", "1") != "0"
         windows = self.windows if self.windows is not None else [None] * self.n_layers
         return _auto_remat(B, L, self.d_model, self.d_ff, self.nheads, windows)
 

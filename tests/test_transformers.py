@@ -178,3 +178,16 @@ def test_remat_choice_preserves_numerics():
     jax.tree_util.tree_map(
         lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-7),
         grads[0], grads[1])
+
+
+def test_auto_remat_keeps_remat_under_attend_fn(monkeypatch):
+    """The sequence-parallel halo attend_fn runs the banded XLA path whose
+    stored scores the estimate doesn't model — auto must keep remat."""
+    from multimodaltopicsegmentation_tpu.models.transformers import _BertStyleEncoder
+
+    _on_fake_tpu(monkeypatch)
+    enc = _BertStyleEncoder(768, 8, 2, 256, [240, 120], 0.0)
+    assert enc._use_remat(10, 3600) is False           # flash path: store
+    assert enc._use_remat(10, 3600, object()) is True  # substituted op: remat
+    monkeypatch.setenv("MTS_REMAT", "0")
+    assert enc._use_remat(10, 3600, object()) is False  # explicit force wins
