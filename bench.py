@@ -313,6 +313,55 @@ def bench_train_step():
     return B * L / dt, dt, lstm_train_step_flops(B, L, Dm, H, LAYERS)
 
 
+def bench_fit_epochs():
+    """Full `Trainer.fit` wall-clock per epoch at the flagship BiLSTM shape
+    (4 train + 1 valid batches, checkpointing, plateau LR) — the train-loop
+    IO headline of docs/PERFORMANCE.md. Measures the host epoch loop and,
+    when eligible, the device-resident epoch windows (train/device_fit.py).
+    Warmup runs on the SAME Trainer instance so compiles and the one-time
+    batch upload stay outside the timed fits. Returns
+    (host_sec_per_epoch, device_sec_per_epoch or None)."""
+    import os
+    import tempfile
+
+    from multimodaltopicsegmentation_tpu.models.base import TaggerConfig
+    from multimodaltopicsegmentation_tpu.train.loop import Trainer
+
+    B, L, Dm = 10, 512, 768
+
+    def batch(seed):
+        r = np.random.default_rng(seed)
+        return {
+            "src_tokens": r.standard_normal((B, L, Dm)).astype(np.float32),
+            "src_lengths": np.full((B,), L, np.int32),
+            "tgt_tokens": (r.random((B, L)) < 0.05).astype(np.float32),
+        }
+
+    train_batches = [batch(s) for s in range(4)]
+    valid_batches = [batch(100)]
+    cfg = TaggerConfig(embedding_dim=Dm, hidden_dim=H, num_layers=LAYERS,
+                       loss_fn="FocalLoss")
+
+    def timed(device_epochs, epochs):
+        with tempfile.TemporaryDirectory() as tmp:
+            tr = Trainer("BiLSTM", cfg, lr=1e-3, max_epochs=2,
+                         no_early_stop=True, check_dir=os.path.join(tmp, "ck"),
+                         device_epochs=device_epochs)
+            tr.fit(train_batches, valid_batches)  # compile + cache warmup
+            tr.max_epochs = epochs
+            t0 = time.time()
+            tr.fit(train_batches, valid_batches)
+            return (time.time() - t0) / epochs
+
+    host = timed(False, 20)
+    try:
+        device = timed(True, 30)
+    except Exception as e:  # noqa: BLE001 - report the host number regardless
+        _log(f"device-epoch fit bench failed ({e})")
+        device = None
+    return host, device
+
+
 def bench_longdoc_step():
     """Flagship long-document transformer train step (docs/PERFORMANCE.md:
     batch 10 x 3600 units, D=768, d_ff=256, 2 layers, pyramidal windows
@@ -619,6 +668,19 @@ def main():
         print(json.dumps(record), flush=True)
     except Exception as e:  # noqa: BLE001
         _log(f"longdoc side-bench failed ({e})")
+
+    # --- final stage: full Trainer.fit epochs (host loop + device windows).
+    # Also printed as a full record; a cold window-program compile can cost
+    # minutes, so this runs strictly last.
+    try:
+        _log("extras: measuring full Trainer.fit epochs")
+        fit_host, fit_device = _retry(bench_fit_epochs)
+        record["fit_epoch_sec"] = round(fit_host, 4)
+        if fit_device is not None:
+            record["fit_epoch_device_sec"] = round(fit_device, 4)
+        print(json.dumps(record), flush=True)
+    except Exception as e:  # noqa: BLE001
+        _log(f"fit-epoch side-bench failed ({e})")
 
 
 if __name__ == "__main__":

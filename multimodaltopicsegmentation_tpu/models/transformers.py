@@ -88,15 +88,18 @@ def mha_params(rng, d_model):
     }
 
 
-def _attend(p, x, nheads, mask, window=None, bias_fn=None, scale=True):
-    """MHA with optional sliding window."""
+def _attend(p, x, nheads, mask, window=None, bias_fn=None, scale=True,
+            probs_drop=0.0, rng=None):
+    """MHA with optional sliding window. probs_drop/rng: train-time
+    attention-probs dropout (HF semantics; rng=None at eval)."""
     q = split_heads(linear(p["q"], x), nheads)
     k = split_heads(linear(p["k"], x), nheads)
     v = split_heads(linear(p["v"], x), nheads)
     if window is None:
-        out = dense_attention(q, k, v, mask)
+        out = dense_attention(q, k, v, mask, probs_drop=probs_drop, rng=rng)
     else:
-        out = local_attention(q, k, v, window, mask, bias_fn=bias_fn, scale=scale)
+        out = local_attention(q, k, v, window, mask, bias_fn=bias_fn, scale=scale,
+                              probs_drop=probs_drop, rng=rng)
     return linear(p["o"], merge_heads(out))
 
 
@@ -117,18 +120,23 @@ def bert_layer_params(rng, d_model, d_ff):
 
 
 def bert_layer_apply(p, x, nheads, mask, window=None, train=False, rng=None,
-                     drop=0.0, attend_fn=None):
+                     drop=0.0, attn_drop=0.0, attend_fn=None):
     """`attend_fn(p_attn, x, mask, window)` overrides the attention op —
-    the sequence-parallel path substitutes a halo-exchange variant; every
-    other sublayer is per-position and shards trivially."""
+    the sequence-parallel path substitutes a halo-exchange variant (which
+    skips attention-probs dropout); every other sublayer is per-position
+    and shards trivially. `attn_drop` is HF attention_probs_dropout_prob
+    (the reference maps dropout_out there for the restricted family,
+    RestrictedTransformerLayer.py:92)."""
     if rng is not None:
-        rng, k1, k2 = jax.random.split(rng, 3)
+        rng, k0, k1, k2 = jax.random.split(rng, 4)
     else:
-        k1 = k2 = None
+        k0 = k1 = k2 = None
     if attend_fn is not None:
         a = attend_fn(p["attn"], x, mask, window)
     else:
-        a = _attend(p["attn"], x, nheads, mask, window)
+        a = _attend(p["attn"], x, nheads, mask, window,
+                    probs_drop=attn_drop if train else 0.0,
+                    rng=k0 if train else None)
     x = layer_norm(p["ln1"], x + dropout(a, drop, k1, not train))
     h = jax.nn.gelu(linear(p["ff1"], x))
     h = linear(p["ff2"], h)
@@ -192,13 +200,14 @@ class _BertStyleEncoder:
     """
 
     def __init__(self, d_model, nheads, n_layers, d_ff, windows, drop,
-                 max_position=4096, remat=None):
+                 max_position=4096, remat=None, attn_drop=0.0):
         self.d_model = d_model
         self.nheads = nheads
         self.n_layers = n_layers
         self.d_ff = d_ff
         self.windows = windows  # None (dense) or per-layer window list
         self.drop = drop
+        self.attn_drop = attn_drop  # HF attention_probs_dropout_prob
         self.max_position = max_position
         self.remat = remat  # True/False forces; None = auto policy
 
@@ -228,6 +237,11 @@ class _BertStyleEncoder:
             pos = jax.lax.dynamic_slice_in_dim(p["pos"], pos_offset, L)
         x = x + pos[None]
         x = layer_norm(p["ln_emb"], x)
+        # HF BertEmbeddings/LongformerEmbeddings drop the normalized
+        # embeddings at hidden_dropout_prob in training
+        if rng is not None:
+            rng, k_emb = jax.random.split(rng)
+            x = dropout(x, self.drop, k_emb, not train)
         for i, lp in enumerate(p["layers"]):
             w = None if self.windows is None else self.windows[i]
             if rng is not None:
@@ -238,22 +252,26 @@ class _BertStyleEncoder:
             def one_layer(lp, x, mask, k, _w=w):
                 return bert_layer_apply(
                     lp, x, self.nheads, mask, window=_w, train=train, rng=k,
-                    drop=self.drop, attend_fn=attend_fn,
+                    drop=self.drop, attn_drop=self.attn_drop,
+                    attend_fn=attend_fn,
                 )
 
-            if train and self._use_remat(B, L, attend_fn):
+            banded = attend_fn is not None or (rng is not None and self.attn_drop > 0.0)
+            if train and self._use_remat(B, L, banded):
                 one_layer = jax.checkpoint(one_layer)
             x = one_layer(lp, x, mask, k)
         return x
 
-    def _use_remat(self, B, L, attend_fn=None):
+    def _use_remat(self, B, L, banded=False):
         if self.remat is not None:
             return self.remat
-        if attend_fn is not None:
-            # a substituted attention op (the sequence-parallel halo variant)
-            # runs the banded XLA path (parallel/sequence.py use_pallas=False:
-            # halo'd masks are not prefix masks), whose stored score tensors
-            # the estimate below does not model — keep remat unless forced
+        if banded:
+            # the banded XLA attention path will serve this program — either
+            # a substituted attention op (the sequence-parallel halo variant,
+            # parallel/sequence.py use_pallas=False: halo'd masks are not
+            # prefix masks) or active attention-probs dropout (no in-kernel
+            # RNG in the flash pair). Its stored score tensors are not in
+            # the estimate below — keep remat unless forced.
             return os.environ.get("MTS_REMAT", "1") != "0"
         windows = self.windows if self.windows is not None else [None] * self.n_layers
         return _auto_remat(B, L, self.d_model, self.d_ff, self.nheads, windows)
@@ -306,29 +324,40 @@ class LongT5Encoder:
         mask = length_mask(lengths, L, x.dtype)
         for lp in p["layers"]:
             if rng is not None:
-                rng, k1, k2 = jax.random.split(rng, 3)
+                rng, k0, k1, k2 = jax.random.split(rng, 4)
             else:
-                k1 = k2 = None
+                k0 = k1 = k2 = None
 
-            def one_block(lp, x, mask, rel_bias, k1, k2):
+            def one_block(lp, x, mask, rel_bias, k0, k1, k2):
                 bias = relative_bias_fn(rel_bias, self.num_buckets, self.max_distance)
                 h = rms_norm(lp["ln1"], x)
-                # scale=False: T5-family attention has no sqrt(dh) scaling
+                # scale=False: T5-family attention has no sqrt(dh) scaling;
+                # HF T5Attention drops the softmaxed weights at dropout_rate
                 a = _attend(lp["attn"], h, self.nheads, mask, self.window,
-                            bias_fn=bias, scale=False)
+                            bias_fn=bias, scale=False,
+                            probs_drop=self.drop if train else 0.0,
+                            rng=k0 if train else None)
                 x = x + dropout(a, self.drop, k1, not train)
                 h = rms_norm(lp["ln2"], x)
                 h = linear(lp["wo"], jax.nn.relu(linear(lp["wi"], h)))
                 return x + dropout(h, self.drop, k2, not train)
 
-            if train and self._use_remat(B, L):
+            banded = rng is not None and (
+                not isinstance(self.drop, (int, float)) or self.drop > 0.0
+            )
+            if train and self._use_remat(B, L, banded):
                 one_block = jax.checkpoint(one_block)
-            x = one_block(lp, x, mask, p["rel_bias"], k1, k2)
+            x = one_block(lp, x, mask, p["rel_bias"], k0, k1, k2)
         return rms_norm(p["ln_final"], x)
 
-    def _use_remat(self, B, L):
+    def _use_remat(self, B, L, banded=False):
         if self.remat is not None:
             return self.remat
+        if banded:
+            # active attention-weights dropout routes this program onto the
+            # banded XLA path (see _BertStyleEncoder._use_remat) — keep
+            # remat unless forced
+            return os.environ.get("MTS_REMAT", "1") != "0"
         return _auto_remat(B, L, self.d_model, self.d_ff, self.nheads,
                            [self.window] * self.n_layers, share=self.remat_share)
 
@@ -346,7 +375,14 @@ def pyramidal_windows(window: int, n_layers: int) -> List[int]:
 
 class TransformerSegmenter:
     """Pyramidal local-attention encoder + classification head
-    (reference Transformer_segmenter, models/CRF.py:508-610)."""
+    (reference Transformer_segmenter, models/CRF.py:508-610).
+
+    Train-time dropout mirrors the reference's HF configs: hidden dropout =
+    dropout_in, attention-probs dropout = dropout_out on the restricted
+    path (RestrictedTransformerLayer.py:85,92). The dense path
+    (restricted=False) never overrides attention_probs_dropout_prob, so it
+    trains at BertConfig's DEFAULT 0.1 regardless of flags
+    (RestrictedTransformerLayer.py:27-35) — replicated deliberately."""
 
     def __init__(self, cfg: TaggerConfig, restricted: bool = True):
         self.cfg = cfg
@@ -354,6 +390,7 @@ class TransformerSegmenter:
         self.encoder = _BertStyleEncoder(
             cfg.embedding_dim, cfg.nheads, cfg.num_layers, cfg.hidden_dim,
             windows, cfg.dropout_in,
+            attn_drop=cfg.dropout_out if restricted else 0.1,
         )
 
     def init(self, rng):
@@ -444,13 +481,21 @@ class RecurrentLongT5(_RecurrentLongBlockBase):
         return {"blocks": blocks, "cls": linear_params(k, self.cfg.hidden_dim * 2, out)}
 
     def scores(self, params, x, lengths, train=False, rng=None):
+        # each block's LSTM sits inside the reference's RNN wrapper, which
+        # applies dropout_in to its input and dropout_out to its output
+        # (CRF.py:620-622 -> NeuralArchitectures.py:89-117). Train-only
+        # here: the wrapper's F.dropout(...) omits training= and so also
+        # fires at eval — a reference defect this framework does not copy
+        # (same policy as the BiLSTM family, taggers.rnn_stack_apply).
         h = x
         for i, bp in enumerate(params["blocks"]):
-            h = bidirectional_rnn(bp["lstm"]["fwd"], bp["lstm"]["bwd"], h, lengths)
             if rng is not None:
-                rng, k = jax.random.split(rng)
+                rng, k_in, k_out, k = jax.random.split(rng, 4)
             else:
-                k = None
+                k_in = k_out = k = None
+            h = dropout(h, self.cfg.dropout_in, k_in, not train)
+            h = bidirectional_rnn(bp["lstm"]["fwd"], bp["lstm"]["bwd"], h, lengths)
+            h = dropout(h, self.cfg.dropout_out, k_out, not train)
             h = self.t5[i].apply(bp["t5"], h, lengths, train, k)
         return linear(params["cls"], h)
 
@@ -482,9 +527,12 @@ class RecurrentLongformer(_RecurrentLongBlockBase):
       (LongformerSelfAttention.forward: `value_vectors =
       self.value(hidden_states)` unconditionally).
     - scores are scaled by 1/sqrt(head_dim) (HF convention; scale=True).
-    Divergence kept: the reference applies HF's attention-probs dropout at
-    config default p=0.1 in training (the block never passes
-    attention_probs_dropout_prob); decode/eval is exact either way."""
+    - the reference never passes attention_probs_dropout_prob, so the noffn
+      block trains with HF's config-default attention-probs dropout p=0.1 —
+      replicated here (train-only; routes onto the banded XLA path, which
+      carries the dropout; decode/eval is exact either way)."""
+
+    NOFFN_ATTN_DROP = 0.1  # HF LongformerConfig default, never overridden
 
     def __init__(self, cfg: TaggerConfig, separate_forward_backward: bool = True,
                  last_bilstm: bool = True):
@@ -530,7 +578,18 @@ class RecurrentLongformer(_RecurrentLongBlockBase):
         mask = length_mask(lengths, x.shape[1], x.dtype)
         h = x
         for bp in params["blocks"]:
+            # RNN-wrapper dropouts (CRF.py:644-646: dropout_in on the LSTM
+            # input, dropout_out — passed as "dropout_attention" — on its
+            # output). Train-only; see RecurrentLongT5.scores for why the
+            # reference's eval-time F.dropout leak is not copied.
+            if rng is not None:
+                rng, k_in, k_out, k_attn = jax.random.split(rng, 4)
+                h = dropout(h, self.cfg.dropout_in, k_in, not train)
+            else:
+                k_attn = None
             h = bidirectional_rnn(bp["lstm"]["fwd"], bp["lstm"]["bwd"], h, lengths)
+            if rng is not None:
+                h = dropout(h, self.cfg.dropout_out, k_out, not train)
             if self.sep_fb:
                 # forward states carry queries AND values; backward states
                 # feed only the keys (pyc receipt: key = key(external_input),
@@ -545,11 +604,22 @@ class RecurrentLongformer(_RecurrentLongBlockBase):
             k = split_heads(linear(bp["attn"]["k"], k_src), nh)
             v = split_heads(linear(bp["attn"]["v"], v_src), nh)
             # bare context out — the noffn layer has no o-proj/residual/LN
-            h = merge_heads(local_attention(q, k, v, self.window, mask))
+            h = merge_heads(local_attention(
+                q, k, v, self.window, mask,
+                probs_drop=self.NOFFN_ATTN_DROP if train else 0.0,
+                rng=k_attn if train else None,
+            ))
         if self.last_bilstm:
+            # the trailing RNN wrapper carries the same dropout pair
+            # (CRF.py:786-788)
+            if rng is not None:
+                rng, k_in, k_out = jax.random.split(rng, 3)
+                h = dropout(h, self.cfg.dropout_in, k_in, not train)
             h = bidirectional_rnn(
                 params["final_lstm"]["fwd"], params["final_lstm"]["bwd"], h, lengths
             )
+            if rng is not None:
+                h = dropout(h, self.cfg.dropout_out, k_out, not train)
         return linear(params["cls"], h)
 
     def loss(self, params, x, lengths, tags, rng=None):

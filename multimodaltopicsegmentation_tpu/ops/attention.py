@@ -47,16 +47,29 @@ def _flash_default() -> bool:
     return os.environ.get("MTS_FLASH_ATTENTION", "1") == "1"
 
 
-def dense_attention(q, k, v, mask=None, bias=None):
+def _drop_probs(w, rate, rng):
+    """Attention-probs dropout, HF semantics: zero softmaxed weights and
+    rescale survivors by 1/keep (BertSelfAttention/T5Attention both drop the
+    POST-softmax probabilities). Inactive when rng is None (eval) or the
+    rate is a static zero."""
+    if rng is None or (not isinstance(rate, jnp.ndarray) and rate == 0.0):
+        return w
+    keep = 1.0 - rate
+    m = jax.random.bernoulli(rng, keep, w.shape)
+    return jnp.where(m, w / keep, 0.0)
+
+
+def dense_attention(q, k, v, mask=None, bias=None, probs_drop=0.0, rng=None):
     """Reference MHA core. q,k,v: [B, H, L, Dh]; mask: [B, L] (1=valid);
-    bias: broadcastable to [B, H, Lq, Lk]."""
+    bias: broadcastable to [B, H, Lq, Lk]; probs_drop/rng: train-time
+    attention-probs dropout (see _drop_probs)."""
     dh = q.shape[-1]
     scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) / math.sqrt(dh)
     if bias is not None:
         scores = scores + bias
     if mask is not None:
         scores = scores + (1.0 - mask[:, None, None, :]) * NEG_INF
-    w = jax.nn.softmax(scores, axis=-1)
+    w = _drop_probs(jax.nn.softmax(scores, axis=-1), probs_drop, rng)
     return jnp.einsum("bhqk,bhkd->bhqd", w, v)
 
 
@@ -77,6 +90,8 @@ def local_attention(
     bias_fn=None,
     use_pallas: str = "auto",
     scale: bool = True,
+    probs_drop=0.0,
+    rng=None,
 ):
     """Sliding-window attention. q,k,v: [B, H, L, Dh]; window = total span
     (w/2 on each side, HF Longformer convention, must be even).
@@ -108,6 +123,9 @@ def local_attention(
     B, H, L, Dh = q.shape
     half = window // 2
     block = max(half, 1)
+    drop_active = rng is not None and (
+        isinstance(probs_drop, jnp.ndarray) or probs_drop > 0.0
+    )
 
     if use_pallas == "auto":
         # the flash (streaming-softmax) Pallas pair avoids materializing the
@@ -119,12 +137,21 @@ def local_attention(
         # (docs/PERFORMANCE.md).
         on_tpu = jax.devices()[0].platform == "tpu"
         # flash covers every library configuration except the (unused)
-        # unbiased-AND-unscaled combination, which only the XLA path takes
+        # unbiased-AND-unscaled combination, which only the XLA path takes,
+        # and ACTIVE attention-probs dropout (the kernels have no in-kernel
+        # RNG; the reference trains Transformer_segmenter with
+        # attention_probs_dropout_prob = dropout_out, so those configs take
+        # the banded path during training and flash everywhere else)
         flash_ok = bias_fn is not None or scale
         use_pallas = (
-            "flash" if _flash_default() and on_tpu and flash_ok else False
+            "flash"
+            if _flash_default() and on_tpu and flash_ok and not drop_active
+            else False
         )
     if use_pallas == "flash":
+        # no in-kernel RNG: forcing flash under active probs dropout would
+        # silently drop the regularizer vs the XLA training path
+        assert not drop_active, "flash local attention has no probs dropout"
         if mask is None:
             mask = jnp.ones((B, L), q.dtype)
         if bias_fn is None:
@@ -153,6 +180,7 @@ def local_attention(
         # relative positions) nor non-prefix masks — silently dropping
         # either would change logits vs the XLA path used in training
         assert bias_fn is None, "pallas local attention does not support bias_fn"
+        assert not drop_active, "pallas local attention has no probs dropout"
         from .pallas_attention import pallas_local_attention
 
         return pallas_local_attention(q, k, v, window, mask)
@@ -207,7 +235,7 @@ def local_attention(
         score_parts.append(part)
 
     scores = jnp.concatenate(score_parts, axis=-1)  # [B, H, nb, block, 3b]
-    w = jax.nn.softmax(scores, axis=-1)
+    w = _drop_probs(jax.nn.softmax(scores, axis=-1), probs_drop, rng)
     # rows fully masked (padding queries) produce uniform weights; harmless
     out = sum(
         jnp.einsum("bhnqk,bhnkd->bhnqd", w[..., s * block : (s + 1) * block],

@@ -231,3 +231,59 @@ def test_flash_biased_grads_match_xla_incl_bias_table(window, L):
     g_got = jax.grad(loss_flash, argnums=(0, 1, 2, 3))(q, k, v, table)
     for a, b in zip(g_ref, g_got):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=2e-5)
+
+
+# ---------------------------------------------------------------------------
+# Attention-probs dropout (HF semantics: drop the softmaxed weights)
+# ---------------------------------------------------------------------------
+
+
+def test_probs_dropout_inactive_without_rng_or_rate():
+    q, k, v = _rand_qkv(0)
+    mask = jnp.ones(q.shape[:1] + q.shape[2:3], q.dtype)
+    base = A.local_attention(q, k, v, 8, mask, use_pallas=False)
+    # rate without rng (eval) and rng with static-zero rate are both no-ops
+    same1 = A.local_attention(q, k, v, 8, mask, use_pallas=False, probs_drop=0.5)
+    same2 = A.local_attention(q, k, v, 8, mask, use_pallas=False,
+                              probs_drop=0.0, rng=jax.random.PRNGKey(0))
+    np.testing.assert_array_equal(np.asarray(same1), np.asarray(base))
+    np.testing.assert_array_equal(np.asarray(same2), np.asarray(base))
+
+
+def test_probs_dropout_active_changes_output_and_is_unbiased():
+    q, k, v = _rand_qkv(1, L=64)
+    mask = jnp.ones(q.shape[:1] + q.shape[2:3], q.dtype)
+    base = A.local_attention(q, k, v, 8, mask, use_pallas=False)
+    dropped = A.local_attention(q, k, v, 8, mask, use_pallas=False,
+                                probs_drop=0.3, rng=jax.random.PRNGKey(1))
+    assert not np.allclose(np.asarray(dropped), np.asarray(base))
+    # survivors are rescaled by 1/keep: averaging over many keys recovers
+    # the undropped output (tolerance is statistical)
+    acc = np.zeros(np.asarray(base).shape, np.float64)
+    n = 64
+    for i in range(n):
+        acc += np.asarray(
+            A.local_attention(q, k, v, 8, mask, use_pallas=False,
+                              probs_drop=0.3, rng=jax.random.PRNGKey(100 + i))
+        )
+    err = np.abs(acc / n - np.asarray(base))
+    # per-element sampling noise at n=64 can reach ~0.4; the MEAN error
+    # collapsing toward 0 is the unbiasedness check
+    assert err.max() < 0.6 and err.mean() < 0.04, (err.max(), err.mean())
+
+
+def test_probs_dropout_dense_matches_banded_semantics():
+    q, k, v = _rand_qkv(2, L=16)
+    mask = jnp.ones(q.shape[:1] + q.shape[2:3], q.dtype)
+    d = A.dense_attention(q, k, v, mask, probs_drop=0.4,
+                          rng=jax.random.PRNGKey(3))
+    base = A.dense_attention(q, k, v, mask)
+    assert not np.allclose(np.asarray(d), np.asarray(base))
+
+
+def test_forced_flash_rejects_active_probs_dropout():
+    q, k, v = _rand_qkv(3, L=32)
+    mask = jnp.ones(q.shape[:1] + q.shape[2:3], q.dtype)
+    with pytest.raises(AssertionError, match="probs dropout"):
+        A.local_attention(q, k, v, 8, mask, use_pallas="flash",
+                          probs_drop=0.2, rng=jax.random.PRNGKey(0))

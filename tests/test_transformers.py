@@ -191,3 +191,87 @@ def test_auto_remat_keeps_remat_under_attend_fn(monkeypatch):
     assert enc._use_remat(10, 3600, object()) is True  # substituted op: remat
     monkeypatch.setenv("MTS_REMAT", "0")
     assert enc._use_remat(10, 3600, object()) is False  # explicit force wins
+
+
+# ---------------------------------------------------------------------------
+# Train-time dropout parity (reference HF configs + RNN-wrapper dropouts)
+# ---------------------------------------------------------------------------
+
+
+def _loss_of(arch, cfg, key, **kw):
+    model = build(arch, cfg, **kw) if kw else build(arch, cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    x, tags, lengths = _data()
+    return model, params, float(
+        model.loss(params, x, lengths, tags, rng=jax.random.PRNGKey(key)))
+
+
+@pytest.mark.parametrize("arch,field", [
+    ("Transformer", "dropout_out"),     # attention-probs dropout (HF :92)
+    ("Transformer", "dropout_in"),      # hidden + embeddings dropout
+    ("RecurrentLongT5", "dropout_in"),  # RNN-wrapper + T5 dropouts
+    ("RecurrentLongT5", "dropout_out"),  # RNN-wrapper output dropout
+    ("BiLSTMRestrictedMHA", "dropout_in"),
+    ("BiLSTMRestrictedMHA", "dropout_out"),
+])
+def test_train_dropout_reaches_the_loss(arch, field):
+    base_cfg = TaggerConfig(embedding_dim=16, hidden_dim=16, num_layers=2,
+                            nheads=2, attention_window=4, loss_fn="FocalLoss")
+    import dataclasses
+
+    drop_cfg = dataclasses.replace(base_cfg, **{field: 0.5})
+    _, _, l0 = _loss_of(arch, base_cfg, key=7)
+    _, _, l1 = _loss_of(arch, drop_cfg, key=7)
+    _, _, l2 = _loss_of(arch, drop_cfg, key=8)
+    assert l0 != l1, f"{field} inert in {arch} training"
+    assert l1 != l2, f"{field} not rng-driven in {arch}"
+
+
+def test_eval_decode_invariant_to_dropout():
+    import dataclasses
+
+    base_cfg = TaggerConfig(embedding_dim=16, hidden_dim=16, num_layers=2,
+                            nheads=2, attention_window=4, loss_fn="FocalLoss")
+    drop_cfg = dataclasses.replace(base_cfg, dropout_in=0.5, dropout_out=0.5)
+    x, _, lengths = _data()
+    for arch in ("Transformer", "RecurrentLongT5", "BiLSTMRestrictedMHA"):
+        m0 = build(arch, base_cfg)
+        m1 = build(arch, drop_cfg)
+        params = m0.init(jax.random.PRNGKey(0))
+        s0, p0 = m0.decode(params, x, lengths, 0.5)
+        s1, p1 = m1.decode(params, x, lengths, 0.5)
+        np.testing.assert_array_equal(np.asarray(s0), np.asarray(s1))
+        np.testing.assert_array_equal(np.asarray(p0), np.asarray(p1))
+
+
+def test_dense_transformer_trains_with_default_attention_dropout():
+    """The reference's Classic path never overrides HF BertConfig's default
+    attention_probs_dropout_prob=0.1, so the dense variant regularizes at
+    0.1 regardless of flags (RestrictedTransformerLayer.py:27-35)."""
+    cfg = TaggerConfig(embedding_dim=16, hidden_dim=16, num_layers=1,
+                       nheads=2, attention_window=0, loss_fn="FocalLoss")
+    model = build("Transformer", cfg)
+    assert model.encoder.windows is None and model.encoder.attn_drop == 0.1
+    x, tags, lengths = _data()
+    params = model.init(jax.random.PRNGKey(0))
+    l1 = float(model.loss(params, x, lengths, tags, rng=jax.random.PRNGKey(1)))
+    l2 = float(model.loss(params, x, lengths, tags, rng=jax.random.PRNGKey(2)))
+    assert l1 != l2  # rng-driven even with dropout flags at 0
+
+
+def test_noffn_block_trains_with_default_attention_dropout():
+    """The vendored noffn layer never overrides HF LongformerConfig's
+    attention_probs_dropout_prob, so RecurrentLongformer trains with probs
+    dropout 0.1 regardless of flags — replicated (train-only)."""
+    cfg = TaggerConfig(embedding_dim=16, hidden_dim=16, num_layers=2,
+                       nheads=2, attention_window=4, loss_fn="FocalLoss")
+    model = build("BiLSTMRestrictedMHA", cfg)
+    x, tags, lengths = _data()
+    params = model.init(jax.random.PRNGKey(0))
+    l1 = float(model.loss(params, x, lengths, tags, rng=jax.random.PRNGKey(1)))
+    l2 = float(model.loss(params, x, lengths, tags, rng=jax.random.PRNGKey(2)))
+    assert l1 != l2
+    # decode stays deterministic
+    _, p1 = model.decode(params, x, lengths, 0.5)
+    _, p2 = model.decode(params, x, lengths, 0.5)
+    np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
