@@ -342,23 +342,28 @@ def bench_fit_epochs():
     cfg = TaggerConfig(embedding_dim=Dm, hidden_dim=H, num_layers=LAYERS,
                        loss_fn="FocalLoss")
 
-    def timed(device_epochs, epochs):
-        with tempfile.TemporaryDirectory() as tmp:
-            tr = Trainer("BiLSTM", cfg, lr=1e-3, max_epochs=2,
-                         no_early_stop=True, check_dir=os.path.join(tmp, "ck"),
-                         device_epochs=device_epochs)
-            tr.fit(train_batches, valid_batches)  # compile + cache warmup
-            tr.max_epochs = epochs
-            t0 = time.time()
-            tr.fit(train_batches, valid_batches)
-            return (time.time() - t0) / epochs
+    def timed(tr, epochs):
+        tr.max_epochs = 2
+        tr.fit(train_batches, valid_batches)  # compile + cache warmup
+        tr.max_epochs = epochs
+        t0 = time.time()
+        tr.fit(train_batches, valid_batches)
+        return (time.time() - t0) / epochs
 
-    host = timed(False, 20)
-    try:
-        device = timed(True, 30)
-    except Exception as e:  # noqa: BLE001 - report the host number regardless
-        _log(f"device-epoch fit bench failed ({e})")
-        device = None
+    with tempfile.TemporaryDirectory() as tmp:
+        # ONE Trainer serves both legs (device_epochs is re-read per fit):
+        # each compile fetch on the remote backend costs tens of seconds,
+        # so sharing the jitted step/eval between legs roughly halves the
+        # stage's wall-clock
+        tr = Trainer("BiLSTM", cfg, lr=1e-3, max_epochs=2,
+                     no_early_stop=True, check_dir=os.path.join(tmp, "ck"))
+        host = timed(tr, 20)
+        try:
+            tr.device_epochs = True
+            device = timed(tr, 30)
+        except Exception as e:  # noqa: BLE001 - report host regardless
+            _log(f"device-epoch fit bench failed ({e})")
+            device = None
     return host, device
 
 
