@@ -38,6 +38,7 @@ import jax.numpy as jnp
 from ..ops import crf as crf_lib
 from ..ops.attention import (
     dense_attention,
+    flash_attention_active,
     local_attention,
     merge_heads,
     relative_bias_fn,
@@ -256,7 +257,14 @@ class _BertStyleEncoder:
                     attend_fn=attend_fn,
                 )
 
-            banded = attend_fn is not None or (rng is not None and self.attn_drop > 0.0)
+            # active attention-probs dropout rides the dropped flash pair
+            # (mask regenerated from the key in backward), so only a
+            # SUBSTITUTED attention op (the sequence-parallel halo variant)
+            # or flash being off still forces the banded XLA path
+            drop_here = rng is not None and self.attn_drop > 0.0
+            banded = attend_fn is not None or (
+                drop_here and not flash_attention_active()
+            )
             if train and self._use_remat(B, L, banded):
                 one_layer = jax.checkpoint(one_layer)
             x = one_layer(lp, x, mask, k)
@@ -266,12 +274,12 @@ class _BertStyleEncoder:
         if self.remat is not None:
             return self.remat
         if banded:
-            # the banded XLA attention path will serve this program — either
-            # a substituted attention op (the sequence-parallel halo variant,
+            # the banded XLA attention path will serve this program — a
+            # substituted attention op (the sequence-parallel halo variant,
             # parallel/sequence.py use_pallas=False: halo'd masks are not
-            # prefix masks) or active attention-probs dropout (no in-kernel
-            # RNG in the flash pair). Its stored score tensors are not in
-            # the estimate below — keep remat unless forced.
+            # prefix masks), or dropout with flash disabled/off-TPU. Its
+            # stored score tensors are not in the estimate below — keep
+            # remat unless forced.
             return os.environ.get("MTS_REMAT", "1") != "0"
         windows = self.windows if self.windows is not None else [None] * self.n_layers
         return _auto_remat(B, L, self.d_model, self.d_ff, self.nheads, windows)
@@ -342,9 +350,12 @@ class LongT5Encoder:
                 h = linear(lp["wo"], jax.nn.relu(linear(lp["wi"], h)))
                 return x + dropout(h, self.drop, k2, not train)
 
-            banded = rng is not None and (
-                not isinstance(self.drop, (int, float)) or self.drop > 0.0
-            )
+            # a TRACED dropout rate (vmapped grid) can't be a static
+            # custom_vjp arg, so only that case — or flash off — still
+            # lands on the banded XLA path under active dropout
+            traced_rate = not isinstance(self.drop, (int, float))
+            drop_here = rng is not None and (traced_rate or self.drop > 0.0)
+            banded = drop_here and (traced_rate or not flash_attention_active())
             if train and self._use_remat(B, L, banded):
                 one_block = jax.checkpoint(one_block)
             x = one_block(lp, x, mask, p["rel_bias"], k0, k1, k2)
@@ -354,9 +365,8 @@ class LongT5Encoder:
         if self.remat is not None:
             return self.remat
         if banded:
-            # active attention-weights dropout routes this program onto the
-            # banded XLA path (see _BertStyleEncoder._use_remat) — keep
-            # remat unless forced
+            # this program lands on the banded XLA path (traced dropout
+            # rate, or flash disabled/off-TPU) — keep remat unless forced
             return os.environ.get("MTS_REMAT", "1") != "0"
         return _auto_remat(B, L, self.d_model, self.d_ff, self.nheads,
                            [self.window] * self.n_layers, share=self.remat_share)
@@ -529,8 +539,9 @@ class RecurrentLongformer(_RecurrentLongBlockBase):
     - scores are scaled by 1/sqrt(head_dim) (HF convention; scale=True).
     - the reference never passes attention_probs_dropout_prob, so the noffn
       block trains with HF's config-default attention-probs dropout p=0.1 —
-      replicated here (train-only; routes onto the banded XLA path, which
-      carries the dropout; decode/eval is exact either way)."""
+      replicated here (train-only; the dropped flash pair carries it on
+      TPU, the banded XLA path elsewhere; decode/eval is exact either
+      way)."""
 
     NOFFN_ATTN_DROP = 0.1  # HF LongformerConfig default, never overridden
 

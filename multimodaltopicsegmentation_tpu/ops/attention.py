@@ -47,6 +47,16 @@ def _flash_default() -> bool:
     return os.environ.get("MTS_FLASH_ATTENTION", "1") == "1"
 
 
+def flash_attention_active() -> bool:
+    """True when local_attention's auto dispatch will take a flash Pallas
+    pair for the library's configurations (scaled Longformer-family or
+    biased T5-family calls, static dropout rates) — i.e. TPU backend and
+    MTS_FLASH_ATTENTION not disabled. Trace-time policy code (the
+    transformer families' auto-remat) uses this to know whether active
+    attention-probs dropout will still avoid the banded score tensors."""
+    return _flash_default() and jax.devices()[0].platform == "tpu"
+
+
 def _drop_probs(w, rate, rng):
     """Attention-probs dropout, HF semantics: zero softmaxed weights and
     rescale survivors by 1/keep (BertSelfAttention/T5Attention both drop the
@@ -108,10 +118,13 @@ def local_attention(
     bias-free) and the biased pair when bias_fn is given (T5 family; the
     relative bias is translation-invariant, so one [H, block, 3*block]
     tile serves every query block and its gradient flows back into the
-    bucket table). Masks must be PREFIX masks — every library caller's
-    are, from length_mask. "flash" forces the flash route, False forces
-    XLA, True forces the older forward-only fused kernel (inference only:
-    pallas_call has no reverse-mode autodiff). Measured history: round 3
+    bucket table). Active probs_drop rides the *_dropped flash variants
+    (same bernoulli draw as the XLA path, regenerated from the key in
+    backward) unless the rate is a traced array. Masks must be PREFIX
+    masks — every library caller's are, from length_mask. "flash" forces
+    the flash route, False forces XLA, True forces the older forward-only
+    fused kernel (inference only: pallas_call has no reverse-mode
+    autodiff). Measured history: round 3
     rebuilt the XLA path's 3-block K/V neighborhood from shifted slices
     instead of a 3x-duplicating gather (the gather's scatter-add backward
     cost 25% of the flagship 10x3600 train step, 105.6 -> 79.3 ms); round
@@ -137,27 +150,37 @@ def local_attention(
         # (docs/PERFORMANCE.md).
         on_tpu = jax.devices()[0].platform == "tpu"
         # flash covers every library configuration except the (unused)
-        # unbiased-AND-unscaled combination, which only the XLA path takes,
-        # and ACTIVE attention-probs dropout (the kernels have no in-kernel
-        # RNG; the reference trains Transformer_segmenter with
-        # attention_probs_dropout_prob = dropout_out, so those configs take
-        # the banded path during training and flash everywhere else)
+        # unbiased-AND-unscaled combination, which only the XLA path takes.
+        # ACTIVE attention-probs dropout routes to the dropped flash
+        # variants: the 0/1 mask is the same bernoulli draw as this file's
+        # _drop_probs (bit-identical when the block geometries coincide),
+        # generated outside the kernel and regenerated from the key in the
+        # backward (pallas_attention._drop_mask)
         flash_ok = bias_fn is not None or scale
+        # a TRACED dropout rate can't be a static custom_vjp argument — only
+        # the XLA path serves it (no library caller passes one; the vmapped
+        # grid trainer varies LAYER dropout, not attention-probs dropout)
+        static_rate = not isinstance(probs_drop, jnp.ndarray)
         use_pallas = (
             "flash"
-            if _flash_default() and on_tpu and flash_ok and not drop_active
+            if _flash_default() and on_tpu and flash_ok
+            and (static_rate or not drop_active)
             else False
         )
     if use_pallas == "flash":
-        # no in-kernel RNG: forcing flash under active probs dropout would
-        # silently drop the regularizer vs the XLA training path
-        assert not drop_active, "flash local attention has no probs dropout"
         if mask is None:
             mask = jnp.ones((B, L), q.dtype)
+        rate = float(probs_drop) if drop_active else 0.0
         if bias_fn is None:
             assert scale, "unbiased flash local attention is always scaled"
-            from .pallas_attention import flash_local_attention
+            from .pallas_attention import (
+                flash_local_attention,
+                flash_local_attention_dropped,
+            )
 
+            if drop_active:
+                return flash_local_attention_dropped(q, k, v, mask, rng,
+                                                     window, rate)
             return flash_local_attention(q, k, v, mask, window)
         # biased pair: the T5 relative bias depends only on the offset, so
         # one [H, block, 3*block] tile (built with the FLASH block geometry,
@@ -166,12 +189,17 @@ def local_attention(
         from .pallas_attention import (
             _flash_geometry,
             flash_local_attention_biased,
+            flash_local_attention_biased_dropped,
         )
 
         fblock = _flash_geometry(L, half)[0]
         rel = jnp.asarray(
             np.arange(3 * fblock)[None, :] - fblock - np.arange(fblock)[:, None]
         )
+        if drop_active:
+            return flash_local_attention_biased_dropped(
+                q, k, v, mask, bias_fn(rel), rng, window, rate, scale
+            )
         return flash_local_attention_biased(
             q, k, v, mask, bias_fn(rel), window, scale
         )

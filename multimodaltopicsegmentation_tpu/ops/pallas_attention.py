@@ -179,14 +179,15 @@ def pallas_local_attention(q, k, v, window: int, mask=None, interpret: bool = Fa
 
 def _flash_fwd_kernel(len_ref, q_ref, km_ref, ks_ref, kp_ref, vm_ref, vs_ref,
                       vp_ref, *refs, half: int, block: int, scale: float,
-                      bf16: bool):
-    """Shared forward kernel; a bias ref is threaded in when the caller is
-    the biased (LongT5-family) entry — `refs` is (bias, out, lse) then,
-    (out, lse) otherwise (the in/out ref order follows the specs)."""
-    if len(refs) == 3:
-        bias_ref, out_ref, lse_ref = refs
-    else:
-        (out_ref, lse_ref), bias_ref = refs, None
+                      bf16: bool, biased: bool = False, keep: float = 1.0):
+    """Shared forward kernel; optional refs are threaded in in spec order —
+    a bias ref when the caller is the biased (LongT5-family) entry, then a
+    dropout-mask ref (0/1 tile, [block, 3*block]) when attention-probs
+    dropout is active (keep < 1). The trailing refs are (out, lse)."""
+    refs = list(refs)
+    bias_ref = refs.pop(0) if biased else None
+    drop_ref = refs.pop(0) if keep < 1.0 else None
+    out_ref, lse_ref = refs
     i = pl.program_id(0)
     j = pl.program_id(1)
     length = len_ref[i]
@@ -210,6 +211,12 @@ def _flash_fwd_kernel(len_ref, q_ref, km_ref, ks_ref, kp_ref, vm_ref, vs_ref,
     e = jnp.exp(s - m)
     l = jnp.maximum(jnp.sum(e, axis=-1, keepdims=True), 1e-20)
     w = e / l
+    if drop_ref is not None:
+        # HF attention-probs dropout on the SOFTMAXED weights: the lse/row
+        # sums stay undropped (dropout is post-softmax), only the PV
+        # accumulation sees the 0/1 mask. (w*m)/keep reproduces the XLA
+        # path's where(m, w/keep, 0) bit-for-bit for m in {0,1}.
+        w = (w * drop_ref[0]) / keep
 
     out = (
         _dot(w[:, :block], vm_ref[0], bf16)
@@ -230,8 +237,12 @@ def _flash_fwd_kernel(len_ref, q_ref, km_ref, ks_ref, kp_ref, vm_ref, vs_ref,
 
 
 def _flash_dq_kernel(len_ref, q_ref, km_ref, ks_ref, kp_ref, vm_ref, vs_ref,
-                     vp_ref, do_ref, lse_ref, dd_ref, dq_ref, *, half: int,
-                     block: int, scale: float, bf16: bool):
+                     vp_ref, do_ref, lse_ref, dd_ref, *refs, half: int,
+                     block: int, scale: float, bf16: bool, keep: float = 1.0):
+    if keep < 1.0:
+        drop_ref, dq_ref = refs
+    else:
+        (dq_ref,), drop_ref = refs, None
     i = pl.program_id(0)
     j = pl.program_id(1)
     length = len_ref[i]
@@ -246,13 +257,20 @@ def _flash_dq_kernel(len_ref, q_ref, km_ref, ks_ref, kp_ref, vm_ref, vs_ref,
     qpos = lax.broadcasted_iota(jnp.int32, (block, block), 0) + qbase
 
     acc = jnp.zeros((block, q.shape[-1]), jnp.float32)
-    for k_ref, v_ref, koffset in ((km_ref, vm_ref, -block), (ks_ref, vs_ref, 0),
-                                  (kp_ref, vp_ref, block)):
+    for idx, (k_ref, v_ref, koffset) in enumerate(
+        ((km_ref, vm_ref, -block), (ks_ref, vs_ref, 0), (kp_ref, vp_ref, block))
+    ):
         kpos = lax.broadcasted_iota(jnp.int32, (block, block), 1) + qbase + koffset
         ok = (jnp.abs(kpos - qpos) <= half) & (kpos >= 0) & (kpos < length)
         s = scale * _dot(q, k_ref[0].T, bf16)
         p = jnp.where(ok & qvalid, jnp.exp(s - lse), 0.0)
         dp = _dot(do, v_ref[0].T, bf16)
+        if drop_ref is not None:
+            # dropout applies to the softmaxed w: dP picks up M/keep; the
+            # softmax-jacobian term dd = rowsum(dO*O) is already the dropped
+            # sum (O itself was computed with the mask), so ds = p*(dp - dd)
+            # is unchanged in form
+            dp = (dp * drop_ref[0, :, idx * block : (idx + 1) * block]) / keep
         ds = p * (dp - dd)
         acc = acc + _dot(ds, k_ref[0], bf16)
     dq_ref[0] = (scale * acc).astype(dq_ref.dtype)
@@ -260,8 +278,13 @@ def _flash_dq_kernel(len_ref, q_ref, km_ref, ks_ref, kp_ref, vm_ref, vs_ref,
 
 def _flash_biased_dq_kernel(len_ref, q_ref, km_ref, ks_ref, kp_ref, vm_ref,
                             vs_ref, vp_ref, bias_ref, do_ref, lse_ref, dd_ref,
-                            dq_ref, dbias_ref, *, half: int, block: int,
-                            scale: float, nheads: int, bf16: bool):
+                            *refs, half: int, block: int,
+                            scale: float, nheads: int, bf16: bool,
+                            keep: float = 1.0):
+    if keep < 1.0:
+        drop_ref, dq_ref, dbias_ref = refs
+    else:
+        (dq_ref, dbias_ref), drop_ref = refs, None
     h = pl.program_id(0)
     b = pl.program_id(1)
     j = pl.program_id(2)
@@ -290,6 +313,8 @@ def _flash_biased_dq_kernel(len_ref, q_ref, km_ref, ks_ref, kp_ref, vm_ref,
         s = s + bias_ref[0, :, idx * block : (idx + 1) * block]
         p = jnp.where(ok & qvalid, jnp.exp(s - lse), 0.0)
         dp = _dot(do, v_ref[0].T, bf16)
+        if drop_ref is not None:
+            dp = (dp * drop_ref[0, :, idx * block : (idx + 1) * block]) / keep
         ds = p * (dp - dd)
         dbias_ref[0, :, idx * block : (idx + 1) * block] += ds
         acc = acc + _dot(ds, k_ref[0], bf16)
@@ -299,13 +324,20 @@ def _flash_biased_dq_kernel(len_ref, q_ref, km_ref, ks_ref, kp_ref, vm_ref,
 def _flash_dkv_kernel(len_ref, k_ref, v_ref, qm_ref, qs_ref, qp_ref, dom_ref,
                       dos_ref, dop_ref, lsem_ref, lses_ref, lsep_ref, ddm_ref,
                       dds_ref, ddp_ref, *refs, half: int, block: int,
-                      scale: float, bf16: bool):
-    """Shared dk/dv kernel; `refs` is (bias, dk, dv) on the biased path,
-    (dk, dv) otherwise."""
-    if len(refs) == 3:
-        bias_ref, dk_ref, dv_ref = refs
+                      scale: float, bf16: bool, biased: bool = False,
+                      keep: float = 1.0):
+    """Shared dk/dv kernel; optional refs in spec order: three dropout-mask
+    tiles for the prev/self/next QUERY blocks when dropout is active
+    (keep < 1), then a bias ref on the biased path. Trailing refs are
+    (dk, dv)."""
+    refs = list(refs)
+    if keep < 1.0:
+        dropm_ref, drops_ref, dropp_ref = refs[:3]
+        refs = refs[3:]
     else:
-        (dk_ref, dv_ref), bias_ref = refs, None
+        dropm_ref = drops_ref = dropp_ref = None
+    bias_ref = refs.pop(0) if biased else None
+    dk_ref, dv_ref = refs
     i = pl.program_id(0)
     j = pl.program_id(1)
     length = len_ref[i]
@@ -316,10 +348,10 @@ def _flash_dkv_kernel(len_ref, k_ref, v_ref, qm_ref, qs_ref, qp_ref, dom_ref,
     kpos_row = lax.broadcasted_iota(jnp.int32, (block, block), 1) + kbase
     dk = jnp.zeros((block, k.shape[-1]), jnp.float32)
     dv = jnp.zeros((block, v.shape[-1]), jnp.float32)
-    for q_ref, do_ref, lse_ref, dd_ref, qoffset, slot in (
-        (qm_ref, dom_ref, lsem_ref, ddm_ref, -block, 2),
-        (qs_ref, dos_ref, lses_ref, dds_ref, 0, 1),
-        (qp_ref, dop_ref, lsep_ref, ddp_ref, block, 0),
+    for q_ref, do_ref, lse_ref, dd_ref, drop_ref, qoffset, slot in (
+        (qm_ref, dom_ref, lsem_ref, ddm_ref, dropm_ref, -block, 2),
+        (qs_ref, dos_ref, lses_ref, dds_ref, drops_ref, 0, 1),
+        (qp_ref, dop_ref, lsep_ref, ddp_ref, dropp_ref, block, 0),
     ):
         q = q_ref[0]
         do = do_ref[0].astype(jnp.float32)
@@ -338,8 +370,15 @@ def _flash_dkv_kernel(len_ref, k_ref, v_ref, qm_ref, qs_ref, qp_ref, dom_ref,
             # at offset `qoffset` (slot = 1 - qoffset/block)
             s = s + bias_ref[0, :, slot * block : (slot + 1) * block]
         p = jnp.where(ok, jnp.exp(s - lse), 0.0)  # [bq, bk]
-        dv = dv + _dot(p.T, do, bf16)
-        dp = _dot(do, v.T, bf16)
+        if drop_ref is not None:
+            # the mask tile belongs to the QUERY block; this key block is
+            # its neighborhood slot `slot` (same column slice as the bias)
+            pm = drop_ref[0, :, slot * block : (slot + 1) * block]
+            dv = dv + _dot(((p * pm) / keep).T, do, bf16)
+            dp = (_dot(do, v.T, bf16) * pm) / keep
+        else:
+            dv = dv + _dot(p.T, do, bf16)
+            dp = _dot(do, v.T, bf16)
         ds = p * (dp - dd)
         dk = dk + _dot(ds.T, q, bf16)
     dk_ref[0] = (scale * dk).astype(dk_ref.dtype)
@@ -378,8 +417,21 @@ def _flash_specs(block: int, nb: int, Dh: int):
     return prev, self_, nxt, blk, stat
 
 
+def _drop_mask(dropkey, rate: float, B, H, nb, block):
+    """0/1 attention-probs dropout mask in the banded flash layout
+    [B*H, nb*block, 3*block], drawn EXACTLY like the XLA banded path's
+    `_drop_probs` (bernoulli(key, keep) over [B, H, nb, block, 3*block]) —
+    when the two paths' block geometries coincide (half % 8 == 0) the same
+    key yields bit-identical masks, which is what the parity tests pin.
+    Regenerated from the key in the backward, so the custom_vjp residuals
+    carry only the key, never the banded-size mask."""
+    keep = 1.0 - rate
+    m = jax.random.bernoulli(dropkey, keep, (B, H, nb, block, 3 * block))
+    return m.reshape(B * H, nb * block, 3 * block).astype(jnp.float32)
+
+
 def _flash_fwd_impl(q, k, v, mask, window: int, interpret: bool, bias=None,
-                    scale: bool = True):
+                    scale: bool = True, dropkey=None, rate: float = 0.0):
     B, H, L, Dh = q.shape
     half = window // 2
     block, nb, pad = _flash_geometry(L, half)
@@ -397,6 +449,11 @@ def _flash_fwd_impl(q, k, v, mask, window: int, interpret: bool, bias=None,
         in_specs.append(pl.BlockSpec((1, block, 3 * block),
                                      lambda i, j, lens: (i % H, 0, 0)))
         operands.append(bias.astype(jnp.float32))
+    dropped = dropkey is not None and rate > 0.0
+    if dropped:
+        in_specs.append(pl.BlockSpec((1, block, 3 * block),
+                                     lambda i, j, lens: (i, j, 0)))
+        operands.append(_drop_mask(dropkey, rate, B, H, nb, block))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -407,7 +464,8 @@ def _flash_fwd_impl(q, k, v, mask, window: int, interpret: bool, bias=None,
     out, lse = pl.pallas_call(
         functools.partial(_flash_fwd_kernel, half=half, block=block,
                           scale=(1.0 / math.sqrt(Dh)) if scale else 1.0,
-                          bf16=_flash_bf16()),
+                          bf16=_flash_bf16(), biased=bias is not None,
+                          keep=(1.0 - rate) if dropped else 1.0),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((B * H, nb * block, Dh), q.dtype),
@@ -419,7 +477,8 @@ def _flash_fwd_impl(q, k, v, mask, window: int, interpret: bool, bias=None,
 
 
 def _flash_bwd_impl(q, k, v, mask, out, lse, do, window: int, interpret: bool,
-                    bias=None, scale: bool = True):
+                    bias=None, scale: bool = True, dropkey=None,
+                    rate: float = 0.0):
     """Returns (dq, dk, dv) — plus dbias when `bias` is given."""
     B, H, L, Dh = q.shape
     half = window // 2
@@ -436,53 +495,71 @@ def _flash_bwd_impl(q, k, v, mask, out, lse, do, window: int, interpret: bool,
 
     prev, self_, nxt, blk, stat = _flash_specs(block, nb, Dh)
     sc = (1.0 / math.sqrt(Dh)) if scale else 1.0
+    dropped = dropkey is not None and rate > 0.0
+    keep = (1.0 - rate) if dropped else 1.0
+    # regenerated from the key — same draw as the forward pass
+    dmf = _drop_mask(dropkey, rate, B, H, nb, block) if dropped else None
+    dblk = lambda fn: pl.BlockSpec((1, block, 3 * block),
+                                   lambda i, j, lens: (i, fn(j), 0))
 
     if bias is None:
+        dq_in_specs = [blk(self_), blk(prev), blk(self_), blk(nxt),
+                       blk(prev), blk(self_), blk(nxt),
+                       blk(self_), stat(self_), stat(self_)]
+        dq_operands = [qf, kf, kf, kf, vf, vf, vf, dof, lse, dd]
+        if dropped:
+            dq_in_specs.append(dblk(self_))
+            dq_operands.append(dmf)
         dq_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(B * H, nb),
-            in_specs=[blk(self_), blk(prev), blk(self_), blk(nxt),
-                      blk(prev), blk(self_), blk(nxt),
-                      blk(self_), stat(self_), stat(self_)],
+            in_specs=dq_in_specs,
             out_specs=blk(self_),
         )
         dq = pl.pallas_call(
             functools.partial(_flash_dq_kernel, half=half, block=block,
-                              scale=sc, bf16=_flash_bf16()),
+                              scale=sc, bf16=_flash_bf16(), keep=keep),
             grid_spec=dq_spec,
             out_shape=jax.ShapeDtypeStruct((B * H, nb * block, Dh), q.dtype),
             interpret=interpret,
-        )(lengths, qf, kf, kf, kf, vf, vf, vf, dof, lse, dd)
+        )(lengths, *dq_operands)
         dbias = None
     else:
         biasf = bias.astype(jnp.float32)
         # dq + dbias: h-major grid so each head's dbias block is revisited
-        # by consecutive steps and accumulates in VMEM (flat row = b*H + h)
+        # by consecutive steps and accumulates in VMEM (flat row = b * H + h)
         dq_blk = lambda fn: pl.BlockSpec(
             (1, block, Dh), lambda h, b, j, lens: (b * H + h, fn(j), 0))
         dq_stat = lambda fn: pl.BlockSpec(
             (1, block, 1), lambda h, b, j, lens: (b * H + h, fn(j), 0))
         bias_hspec = pl.BlockSpec((1, block, 3 * block),
                                   lambda h, b, j, lens: (h, 0, 0))
+        dq_in_specs = [dq_blk(self_), dq_blk(prev), dq_blk(self_), dq_blk(nxt),
+                       dq_blk(prev), dq_blk(self_), dq_blk(nxt),
+                       bias_hspec,
+                       dq_blk(self_), dq_stat(self_), dq_stat(self_)]
+        dq_operands = [qf, kf, kf, kf, vf, vf, vf, biasf, dof, lse, dd]
+        if dropped:
+            dq_in_specs.append(pl.BlockSpec(
+                (1, block, 3 * block), lambda h, b, j, lens: (b * H + h, j, 0)))
+            dq_operands.append(dmf)
         dq_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(H, B, nb),
-            in_specs=[dq_blk(self_), dq_blk(prev), dq_blk(self_), dq_blk(nxt),
-                      dq_blk(prev), dq_blk(self_), dq_blk(nxt),
-                      bias_hspec,
-                      dq_blk(self_), dq_stat(self_), dq_stat(self_)],
+            in_specs=dq_in_specs,
             out_specs=[dq_blk(self_), bias_hspec],
         )
         dq, dbias = pl.pallas_call(
             functools.partial(_flash_biased_dq_kernel, half=half, block=block,
-                              scale=sc, nheads=H, bf16=_flash_bf16()),
+                              scale=sc, nheads=H, bf16=_flash_bf16(),
+                              keep=keep),
             grid_spec=dq_spec,
             out_shape=[
                 jax.ShapeDtypeStruct((B * H, nb * block, Dh), q.dtype),
                 jax.ShapeDtypeStruct((H, block, 3 * block), jnp.float32),
             ],
             interpret=interpret,
-        )(lengths, qf, kf, kf, kf, vf, vf, vf, biasf, dof, lse, dd)
+        )(lengths, *dq_operands)
 
     dkv_in_specs = [blk(self_), blk(self_),
                     blk(prev), blk(self_), blk(nxt),
@@ -491,6 +568,10 @@ def _flash_bwd_impl(q, k, v, mask, out, lse, do, window: int, interpret: bool,
                     stat(prev), stat(self_), stat(nxt)]
     dkv_operands = [kf, vf, qf, qf, qf, dof, dof, dof, lse, lse, lse,
                     dd, dd, dd]
+    if dropped:
+        # the mask tile travels with the QUERY block neighborhood
+        dkv_in_specs.extend([dblk(prev), dblk(self_), dblk(nxt)])
+        dkv_operands.extend([dmf, dmf, dmf])
     if bias is not None:
         dkv_in_specs.append(pl.BlockSpec((1, block, 3 * block),
                                          lambda i, j, lens: (i % H, 0, 0)))
@@ -503,7 +584,8 @@ def _flash_bwd_impl(q, k, v, mask, out, lse, do, window: int, interpret: bool,
     )
     dk, dv = pl.pallas_call(
         functools.partial(_flash_dkv_kernel, half=half, block=block,
-                          scale=sc, bf16=_flash_bf16()),
+                          scale=sc, bf16=_flash_bf16(),
+                          biased=bias is not None, keep=keep),
         grid_spec=dkv_spec,
         out_shape=[
             jax.ShapeDtypeStruct((B * H, nb * block, Dh), k.dtype),
@@ -572,3 +654,79 @@ def _flash_vjp_bwd(window, interpret, res, do):
 
 
 flash_local_attention.defvjp(_flash_vjp_fwd, _flash_vjp_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Dropout variants: attention-probs dropout (HF semantics — drop the
+# SOFTMAXED weights, rescale survivors by 1/keep) threaded through the same
+# kernels. The 0/1 mask is drawn OUTSIDE the kernel with the exact
+# jax.random.bernoulli call the XLA banded path makes (bit-identical masks
+# when the block geometries coincide — see _drop_mask), passed as one
+# banded-layout operand, and REGENERATED from the key in the backward: the
+# residuals carry only the PRNG key, never the banded-size mask, so the
+# auto-remat stored-activation estimate is unchanged vs the clean pair.
+# Without these, every training configuration with active probs dropout
+# (the reference's Transformer_segmenter maps dropout_out there; the dense
+# and noffn families train at HF's default 0.1) fell back to the banded
+# XLA path and its materialized score tensors.
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def flash_local_attention_dropped(q, k, v, mask, dropkey, window: int,
+                                  rate: float, interpret: bool = False):
+    """flash_local_attention + attention-probs dropout at `rate`, drawn from
+    `dropkey` (a jax PRNG key). Scaled scores, no bias (Longformer family);
+    training path only — eval calls the clean pair."""
+    out, _ = _flash_fwd_impl(q, k, v, mask, window, interpret,
+                             dropkey=dropkey, rate=rate)
+    return out
+
+
+def _flash_dropped_vjp_fwd(q, k, v, mask, dropkey, window, rate, interpret):
+    out, lse = _flash_fwd_impl(q, k, v, mask, window, interpret,
+                               dropkey=dropkey, rate=rate)
+    return out, (q, k, v, mask, dropkey, out, lse)
+
+
+def _flash_dropped_vjp_bwd(window, rate, interpret, res, do):
+    q, k, v, mask, dropkey, out, lse = res
+    dq, dk, dv = _flash_bwd_impl(q, k, v, mask, out, lse, do, window,
+                                 interpret, dropkey=dropkey, rate=rate)
+    return dq, dk, dv, _mask_cotangent(mask), _mask_cotangent(dropkey)
+
+
+flash_local_attention_dropped.defvjp(_flash_dropped_vjp_fwd,
+                                     _flash_dropped_vjp_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9))
+def flash_local_attention_biased_dropped(q, k, v, mask, bias, dropkey,
+                                         window: int, rate: float,
+                                         scale: bool = False,
+                                         interpret: bool = False):
+    """flash_local_attention_biased + attention-probs dropout at `rate`
+    (the LongT5 family's T5Attention dropout_rate on the softmaxed
+    weights). Differentiable in q/k/v/bias."""
+    out, _ = _flash_fwd_impl(q, k, v, mask, window, interpret, bias=bias,
+                             scale=scale, dropkey=dropkey, rate=rate)
+    return out
+
+
+def _flash_biased_dropped_vjp_fwd(q, k, v, mask, bias, dropkey, window, rate,
+                                  scale, interpret):
+    out, lse = _flash_fwd_impl(q, k, v, mask, window, interpret, bias=bias,
+                               scale=scale, dropkey=dropkey, rate=rate)
+    return out, (q, k, v, mask, bias, dropkey, out, lse)
+
+
+def _flash_biased_dropped_vjp_bwd(window, rate, scale, interpret, res, do):
+    q, k, v, mask, bias, dropkey, out, lse = res
+    dq, dk, dv, dbias = _flash_bwd_impl(
+        q, k, v, mask, out, lse, do, window, interpret, bias=bias,
+        scale=scale, dropkey=dropkey, rate=rate)
+    return dq, dk, dv, _mask_cotangent(mask), dbias, _mask_cotangent(dropkey)
+
+
+flash_local_attention_biased_dropped.defvjp(_flash_biased_dropped_vjp_fwd,
+                                            _flash_biased_dropped_vjp_bwd)

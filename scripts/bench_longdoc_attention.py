@@ -17,9 +17,15 @@ Remat follows the trace-time auto policy (stores activations at these
 flagship shapes on TPU: Transformer 50.1 ms/step vs 67.6 remat'd,
 RecurrentLongT5 106.4 vs 117.7); set MTS_REMAT=1/0 to force either leg.
 
-Usage: python scripts/bench_longdoc_attention.py [xla|flash|both] [arch] [batch]
+Usage: python scripts/bench_longdoc_attention.py [xla|flash|both] [arch] [batch] [drop]
   arch:  Transformer (default) | RecurrentLongT5
   batch: default 10
+  drop:  attention-probs dropout rate (default 0.0). For Transformer it is
+         passed as dropout_out (-> attn_drop, attention-only); for
+         RecurrentLongT5 as dropout_in (the T5 blocks' dropout_rate, which
+         HF applies to hidden states AND attention weights). Nonzero rates
+         A/B the round-4 dropped flash pair against the banded XLA path
+         that previously served every regularized training config.
 """
 import os
 import sys
@@ -30,7 +36,8 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def measure(mode: str, arch_name: str = "Transformer", B: int = 10):
+def measure(mode: str, arch_name: str = "Transformer", B: int = 10,
+            drop: float = 0.0):
     os.environ["MTS_FLASH_ATTENTION"] = "1" if mode == "flash" else "0"
     import jax
     import jax.numpy as jnp
@@ -44,6 +51,8 @@ def measure(mode: str, arch_name: str = "Transformer", B: int = 10):
     cfg = TaggerConfig(
         embedding_dim=D, hidden_dim=256, num_layers=2, nheads=8,
         attention_window=120, loss_fn="FocalLoss",
+        dropout_out=drop if arch_name == "Transformer" else 0.0,
+        dropout_in=drop if arch_name != "Transformer" else 0.0,
     )
     arch = build(arch_name, cfg)
     params = arch.init(jax.random.PRNGKey(0))
@@ -82,7 +91,8 @@ if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "both"
     arch_name = sys.argv[2] if len(sys.argv) > 2 else "Transformer"
     B = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    drop = float(sys.argv[4]) if len(sys.argv) > 4 else 0.0
     if which in ("xla", "both"):
-        measure("xla", arch_name, B)
+        measure("xla", arch_name, B, drop)
     if which in ("flash", "both"):
-        measure("flash", arch_name, B)
+        measure("flash", arch_name, B, drop)

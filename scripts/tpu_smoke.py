@@ -126,6 +126,22 @@ def main() -> int:
         assert np.all(np.isfinite(np.asarray(gq)))
         assert np.all(np.isfinite(np.asarray(gt)))
 
+    def flash_dropped_attention_grad():
+        # the TPU training path under ACTIVE attention-probs dropout: the
+        # dropped flash pair (mask drawn outside, regenerated in backward)
+        from multimodaltopicsegmentation_tpu.ops.attention import local_attention
+
+        q = jnp.asarray(rng.standard_normal((1, 2, 128, 16)), jnp.float32)
+        mask = jnp.ones((1, 128), jnp.float32)
+        key = jax.random.PRNGKey(0)
+
+        def loss(q, key):
+            o = local_attention(q, q, q, 32, mask, probs_drop=0.2, rng=key)
+            return jnp.sum(o ** 2)
+
+        grads = jax.jit(jax.grad(loss))(q, key)
+        assert np.all(np.isfinite(np.asarray(grads)))
+
     def pallas_kernel():
         from multimodaltopicsegmentation_tpu.ops.pallas_attention import (
             pallas_local_attention,
@@ -202,6 +218,7 @@ def main() -> int:
         ("blocked local attention", blocked_local_attention),
         ("flash attention fwd+bwd (TPU training default)", flash_attention_grad),
         ("flash biased attention fwd+bwd (T5 family)", flash_biased_attention_grad),
+        ("flash dropped attention fwd+bwd (probs dropout)", flash_dropped_attention_grad),
         ("pallas local attention kernel", pallas_kernel),
         ("pallas fused instance-norm+gelu kernel", pallas_norm_kernel),
         ("CRDNN VAD posteriors", crdnn_vad_posteriors),

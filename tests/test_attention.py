@@ -281,9 +281,114 @@ def test_probs_dropout_dense_matches_banded_semantics():
     assert not np.allclose(np.asarray(d), np.asarray(base))
 
 
-def test_forced_flash_rejects_active_probs_dropout():
+def test_forced_fused_kernel_rejects_active_probs_dropout():
+    """The OLD forward-only fused kernel (use_pallas=True) has no dropout
+    support — forcing it under an active rate must fail loudly, not
+    silently drop the regularizer."""
     q, k, v = _rand_qkv(3, L=32)
     mask = jnp.ones(q.shape[:1] + q.shape[2:3], q.dtype)
     with pytest.raises(AssertionError, match="probs dropout"):
-        A.local_attention(q, k, v, 8, mask, use_pallas="flash",
+        A.local_attention(q, k, v, 8, mask, use_pallas=True,
                           probs_drop=0.2, rng=jax.random.PRNGKey(0))
+
+
+# The dropped flash pair draws its 0/1 mask with the SAME
+# jax.random.bernoulli call as the XLA banded path's _drop_probs, so when
+# the two block geometries coincide (window//2 a multiple of the sublane
+# quantum 8) the same key gives BIT-IDENTICAL dropout — these parity tests
+# pin that, making the kernels verifiable on CPU (interpret mode) against
+# the path the rest of the suite already oracles.
+
+
+@pytest.mark.parametrize("window,L", [(16, 37), (48, 64)])
+def test_flash_dropped_forward_matches_xla_dropout(window, L):
+    from multimodaltopicsegmentation_tpu.ops.pallas_attention import (
+        flash_local_attention_dropped,
+    )
+
+    q, k, v = _rand_qkv(11, L=L)
+    lengths = np.array([L, max(L - 5, 1)])
+    mask = jnp.asarray((np.arange(L)[None, :] < lengths[:, None]).astype(np.float32))
+    key = jax.random.PRNGKey(7)
+    ref = A.local_attention(q, k, v, window, mask, use_pallas=False,
+                            probs_drop=0.3, rng=key)
+    out = flash_local_attention_dropped(q, k, v, mask, key, window, 0.3, True)
+    for b in range(q.shape[0]):
+        np.testing.assert_allclose(
+            np.asarray(out)[b, :, : lengths[b]],
+            np.asarray(ref)[b, :, : lengths[b]],
+            atol=1e-5,
+        )
+
+
+@pytest.mark.parametrize("window,L", [(16, 37)])
+def test_flash_dropped_grads_match_xla_dropout(window, L):
+    """The backward pair REGENERATES the mask from the key — dq/dk/dv must
+    match XLA autodiff of the banded path under the identical draw."""
+    from multimodaltopicsegmentation_tpu.ops.pallas_attention import (
+        flash_local_attention_dropped,
+    )
+
+    q, k, v = _rand_qkv(12, L=L)
+    lengths = np.array([L, max(L - 5, 1)])
+    mask = jnp.asarray((np.arange(L)[None, :] < lengths[:, None]).astype(np.float32))
+    m4 = mask[:, None, :, None]
+    key = jax.random.PRNGKey(9)
+
+    def loss_xla(q, k, v):
+        o = A.local_attention(q, k, v, window, mask, use_pallas=False,
+                              probs_drop=0.25, rng=key)
+        return jnp.sum(jnp.sin(o) * m4)
+
+    def loss_flash(q, k, v):
+        o = flash_local_attention_dropped(q, k, v, mask, key, window, 0.25,
+                                          True)
+        return jnp.sum(jnp.sin(o) * m4)
+
+    g_ref = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    g_got = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g_ref, g_got):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=2e-5)
+
+
+def test_flash_biased_dropped_matches_xla_incl_bias_grad():
+    """T5-family: bias tile + probs dropout together; forward AND the
+    dq/dk/dv/bucket-table grads must match the banded path."""
+    from multimodaltopicsegmentation_tpu.ops.pallas_attention import (
+        flash_local_attention_biased_dropped,
+    )
+
+    window, L = 16, 37
+    q, k, v, mask, table, bias_fn_of, rel = _biased_setup(13, window, L)
+    m4 = mask[:, None, :, None]
+    key = jax.random.PRNGKey(21)
+
+    ref = A.local_attention(q, k, v, window, mask, bias_fn=bias_fn_of(table),
+                            scale=False, use_pallas=False, probs_drop=0.3,
+                            rng=key)
+    out = flash_local_attention_biased_dropped(
+        q, k, v, mask, bias_fn_of(table)(rel), key, window, 0.3, False, True)
+    lengths = np.sum(np.asarray(mask), axis=1).astype(int)
+    for b in range(q.shape[0]):
+        np.testing.assert_allclose(
+            np.asarray(out)[b, :, : lengths[b]],
+            np.asarray(ref)[b, :, : lengths[b]],
+            atol=1e-5,
+        )
+
+    def loss_xla(q, k, v, tbl):
+        o = A.local_attention(q, k, v, window, mask, bias_fn=bias_fn_of(tbl),
+                              scale=False, use_pallas=False, probs_drop=0.3,
+                              rng=key)
+        return jnp.sum(jnp.sin(o) * m4)
+
+    def loss_flash(q, k, v, tbl):
+        o = flash_local_attention_biased_dropped(
+            q, k, v, mask, bias_fn_of(tbl)(rel), key, window, 0.3, False,
+            True)
+        return jnp.sum(jnp.sin(o) * m4)
+
+    g_ref = jax.grad(loss_xla, argnums=(0, 1, 2, 3))(q, k, v, table)
+    g_got = jax.grad(loss_flash, argnums=(0, 1, 2, 3))(q, k, v, table)
+    for a, b in zip(g_ref, g_got):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=2e-5)
