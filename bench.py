@@ -31,6 +31,7 @@ compile server's queue is erratic (same-HLO compiles measured 21 s to
 the staged records defend against.
 """
 import json
+import sys
 import time
 
 import numpy as np
@@ -419,6 +420,13 @@ def bench_longdoc_step():
     return best, flops
 
 
+_T0 = time.time()
+
+
+def _log(msg):
+    print(f"[{time.time() - _T0:7.1f}s] {msg}", file=sys.stderr, flush=True)
+
+
 def _retry(fn, attempts=2, wait=5):
     """The remote TPU backend occasionally drops a connection mid-run
     (transient INTERNAL errors); one clean retry recovers it. The sleep is
@@ -433,13 +441,9 @@ def _retry(fn, attempts=2, wait=5):
 
 
 def main():
-    import sys
     import threading
 
-    t_start = time.time()
-
-    def _log(msg):
-        print(f"[{time.time() - t_start:7.1f}s] {msg}", file=sys.stderr, flush=True)
+    t_start = _T0  # _log timestamps and the headline join share one origin
 
     # Backend watchdog FIRST: when the axon tunnel is down, the first
     # jax.devices() call blocks indefinitely inside backend init and the
@@ -513,20 +517,27 @@ def main():
     try:
         _log("provisional: compiling+measuring the MFCC predict path")
         mfcc_v = _retry(bench_predict_tpu)
-        mfcc_b = bench_predict_cpu_baseline()
+        # Print the moment the TPU measurement lands: the serial host-CPU
+        # MFCC baseline runs 30 units of numpy STFT on a host that is also
+        # running the concurrent torch baseline thread, so putting it on
+        # the provisional record's critical path cost ~1 min of first-line
+        # latency in the round-4 timing run. vs_baseline=0.0 here is the
+        # same deferred-ratio convention the headline record uses.
         print(
             json.dumps(
                 {
                     "metric": "predict_mfcc_audio_min_per_sec",
                     "value": round(mfcc_v, 2),
                     "unit": "audio-min/s",
-                    "vs_baseline": round(mfcc_v / mfcc_b, 2),
+                    "vs_baseline": 0.0,
                     "provisional": True,
                 }
             ),
             flush=True,
         )
         _log(f"provisional mfcc record out ({mfcc_v:.2f} audio-min/s)")
+        mfcc_b = bench_predict_cpu_baseline()
+        _log(f"mfcc serial-CPU baseline: {mfcc_b:.4f} audio-min/s")
     except Exception as e:  # noqa: BLE001
         _log(f"mfcc provisional failed ({e})")
 
@@ -539,18 +550,39 @@ def main():
         _log(f"headline measured: {value:.2f} audio-min/s")
     except Exception as e:  # noqa: BLE001
         _log(f"predict-path bench failed ({e}); falling back")
-        value, _dt, _fl = bench_train_step()
-        print(
-            json.dumps(
-                {
-                    "metric": "bilstm_train_units_per_sec",
-                    "value": round(value, 1),
-                    "unit": "units/s",
-                    "vs_baseline": 0.0,
-                }
-            ),
-            flush=True,
-        )
+        # the fallback itself must be guarded: a backend that DIES mid-run
+        # (observed live in round 4 — probe ok, then every dispatch
+        # FAILED_PRECONDITION) fails the train step too, and an unguarded
+        # fallback would exit with an EMPTY stdout, the exact round-3
+        # failure mode the staged records exist to prevent
+        try:
+            value, _dt, _fl = bench_train_step()
+            print(
+                json.dumps(
+                    {
+                        "metric": "bilstm_train_units_per_sec",
+                        "value": round(value, 1),
+                        "unit": "units/s",
+                        "vs_baseline": 0.0,
+                    }
+                ),
+                flush=True,
+            )
+        except Exception as e2:  # noqa: BLE001
+            _log(f"train-step fallback also failed ({e2})")
+            print(
+                json.dumps(
+                    {
+                        "metric": "predict_wav2vec2_audio_min_per_sec",
+                        "value": 0.0,
+                        "unit": "audio-min/s",
+                        "vs_baseline": 0.0,
+                        "error": f"TPU backend failed mid-run: {e}",
+                    }
+                ),
+                flush=True,
+            )
+            sys.exit(2)
         return
 
     # Bounded join: the headline must reach stdout even if the baseline host
@@ -620,12 +652,14 @@ def main():
 
     # mfcc side-bench: measured up front for the provisional record; fold
     # the numbers into the enriched record here
-    if mfcc_v is not None and mfcc_b is not None:
-        _log(
-            f"mfcc_path: {mfcc_v:.2f} audio-min/s "
-            f"({mfcc_v / mfcc_b:.2f}x serial-CPU baseline)"
-        )
+    if mfcc_v is not None:
         record["mfcc_audio_min_per_sec"] = round(mfcc_v, 2)
+        if mfcc_b is not None:
+            _log(
+                f"mfcc_path: {mfcc_v:.2f} audio-min/s "
+                f"({mfcc_v / mfcc_b:.2f}x serial-CPU baseline)"
+            )
+            record["mfcc_vs_baseline"] = round(mfcc_v / mfcc_b, 2)
         enriched = True
 
     # The first baseline ran concurrently with the TPU dispatches; re-measure
