@@ -536,10 +536,17 @@ def main():
             flush=True,
         )
         _log(f"provisional mfcc record out ({mfcc_v:.2f} audio-min/s)")
-        mfcc_b = bench_predict_cpu_baseline()
-        _log(f"mfcc serial-CPU baseline: {mfcc_b:.4f} audio-min/s")
     except Exception as e:  # noqa: BLE001
         _log(f"mfcc provisional failed ({e})")
+    # the host-CPU baseline gets its OWN guard: once the provisional record
+    # is printed, a baseline-only failure must not be logged as a failure
+    # of the (already successful) TPU measurement
+    if mfcc_v is not None:
+        try:
+            mfcc_b = bench_predict_cpu_baseline()
+            _log(f"mfcc serial-CPU baseline: {mfcc_b:.4f} audio-min/s")
+        except Exception as e:  # noqa: BLE001
+            _log(f"mfcc baseline failed ({e})")
 
     try:
         _log("headline: compiling+measuring the wav2vec2 predict path")

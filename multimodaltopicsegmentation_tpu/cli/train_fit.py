@@ -56,6 +56,23 @@ EMBEDDING_SIZES = {
 }
 
 
+def _resolve_monitored(val_loss: float) -> float:
+    """Resolve parse_checkpoint_name's NaN sentinel for `final=` checkpoints.
+
+    A `final=` save carries no monitored loss in its filename; selection
+    still needs a comparable number, so fall back to the reference's 0.5 —
+    but record in the logs that the value was synthesized rather than
+    letting it masquerade as a real monitored loss."""
+    if np.isnan(val_loss):
+        with open("logs", "a") as f:
+            f.write(
+                "Monitored loss synthesized: final= checkpoint carries no "
+                "val loss; using 0.5 for config selection\n"
+            )
+        return 0.5
+    return val_loss
+
+
 def infer_embedding_dim(encoder: str, encoder2=None, timing_file=None, pca=False, pca_value=167):
     """Reference dim inference incl. '+' early-fusion sums (train_fit.py:252-276)."""
     if pca:
@@ -440,6 +457,7 @@ def main(args):
             for gi, pt in enumerate(hyperparameters):
                 best_path = gt.best_model_paths[gi]
                 th, bvl = ckpt_lib.parse_checkpoint_name(best_path)
+                bvl = _resolve_monitored(bvl)
                 if args.no_validation or args.save_last_epoch:
                     best_path = gt.save_final(gi)
                 pregrid[(pt, index)] = (best_path, th, bvl)
@@ -534,7 +552,9 @@ def main(args):
                 best_val_loss = (
                     args.threshold
                     if args.threshold
-                    else ckpt_lib.parse_checkpoint_name(trainer.best_model_path)[1]
+                    else _resolve_monitored(
+                        ckpt_lib.parse_checkpoint_name(trainer.best_model_path)[1]
+                    )
                 )
                 if args.search_threshold and valid_loader and not args.no_validation:
                     # working -sth: pick the threshold on validation docs

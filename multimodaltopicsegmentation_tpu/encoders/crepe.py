@@ -97,6 +97,7 @@ class CrepeEncoder:
     frame_level = True
 
     def __init__(self, weights: str = None):
+        weights = weights or os.environ.get("MTS_CREPE_WEIGHTS")
         if weights:
             self.params = load_weights(weights)
         elif os.environ.get("MTS_RANDOM_ENCODER_WEIGHTS") == "1":
@@ -105,8 +106,8 @@ class CrepeEncoder:
         else:
             raise RuntimeError(
                 "CREPE weights unavailable (the reference's TorchCrepeModel "
-                "module is absent from its own repo); pass weights= or set "
-                "MTS_RANDOM_ENCODER_WEIGHTS=1"
+                "module is absent from its own repo); pass weights= / "
+                "MTS_CREPE_WEIGHTS or set MTS_RANDOM_ENCODER_WEIGHTS=1"
             )
 
     def encode_document(self, audio, bounds, chunk=512):

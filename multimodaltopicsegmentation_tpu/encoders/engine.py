@@ -89,7 +89,11 @@ class Wav2Vec2Encoder:
             self.cfg = W.Wav2Vec2Config.base()
             self.params = W.init_params(jax.random.PRNGKey(0), self.cfg)
         else:
-            self.params, self.cfg = W.load_pretrained(name_or_path)
+            # MTS_WAV2VEC2_WEIGHTS points at a local HF checkpoint directory
+            # (tools/convert_weights.py wav2vec2) for zero-egress hosts
+            self.params, self.cfg = W.load_pretrained(
+                os.environ.get("MTS_WAV2VEC2_WEIGHTS", name_or_path)
+            )
         # params must be an ARGUMENT, not a closure: closed-over weights are
         # baked into the HLO as constants (385 MB for base — breaks the
         # remote-compile path and bloats every cache entry)

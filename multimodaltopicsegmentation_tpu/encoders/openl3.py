@@ -128,6 +128,7 @@ class OpenL3Encoder:
 
     def __init__(self, n_mels: int = 128, weights: str = None):
         self.n_mels = n_mels
+        weights = weights or os.environ.get("MTS_OPENL3_WEIGHTS")
         if weights:
             self.params = load_weights(weights, n_mels)
         elif os.environ.get("MTS_RANDOM_ENCODER_WEIGHTS") == "1":
@@ -136,7 +137,8 @@ class OpenL3Encoder:
         else:
             raise RuntimeError(
                 "openl3 weights unavailable in this environment; pass a "
-                "converted .npz via weights= or set MTS_RANDOM_ENCODER_WEIGHTS=1"
+                "converted .npz via weights= / MTS_OPENL3_WEIGHTS or set "
+                "MTS_RANDOM_ENCODER_WEIGHTS=1"
             )
 
     def encode_document(self, audio, bounds, chunk=64):

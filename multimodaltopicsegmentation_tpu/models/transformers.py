@@ -152,7 +152,8 @@ def bert_layer_apply(p, x, nheads, mask, window=None, train=False, rng=None,
 _REMAT_AUTO_BUDGET = 4 << 30
 
 
-def _auto_remat(B, L, d_model, d_ff, nheads, layer_windows, share=1):
+def _auto_remat(B, L, d_model, d_ff, nheads, layer_windows, share=1,
+                attn_drop=0.0):
     """Trace-time per-layer rematerialization policy: store activations
     when they comfortably fit, recompute when they would not.
 
@@ -168,9 +169,10 @@ def _auto_remat(B, L, d_model, d_ff, nheads, layer_windows, share=1):
     Policy: on TPU with flash attention active, estimate the stored bytes
     (~12 d_model-wide unit tensors + 2 d_ff-wide FFN intermediates per
     layer, plus dense-layer softmax weights where a layer has no window;
-    flagship estimate 2.8 GB vs 2.28 GB measured compiled temp) and turn
-    remat OFF when `share` sibling encoder stacks of this size stay under
-    _REMAT_AUTO_BUDGET. Anywhere the banded XLA path serves (CPU, or
+    flagship estimate 2.8 GB vs 2.28 GB measured compiled temp; with active
+    probs dropout, plus the largest layer's transient flash dropout mask)
+    and turn remat OFF when `share` sibling encoder stacks of this size
+    stay under _REMAT_AUTO_BUDGET. Anywhere the banded XLA path serves (CPU, or
     MTS_FLASH_ATTENTION=0), remat stays ON. MTS_REMAT=1/0 overrides the
     heuristic in either direction.
     """
@@ -182,11 +184,21 @@ def _auto_remat(B, L, d_model, d_ff, nheads, layer_windows, share=1):
     if jax.devices()[0].platform != "tpu" or not _flash_default():
         return True
     est = 0
+    mask_temp = 0
     for w in layer_windows:
         est += B * L * (12 * d_model + 2 * d_ff) * 4
         if w is None:  # dense layer: stored softmax weights dominate
             est += 2 * B * nheads * L * L * 4
-    return est * share > _REMAT_AUTO_BUDGET
+        elif attn_drop and attn_drop > 0.0:
+            # the dropped flash pair materializes an f32
+            # [B*H, nb*block, 3*block] 0/1 mask in HBM for the forward and
+            # regenerates it in the backward (ops/pallas_attention._drop_mask
+            # — a transient, NOT a stored residual, so only the largest
+            # layer's mask is alive at once; ~0.4 GB at the flagship shape)
+            block = -(-(w // 2) // 8) * 8
+            nb = -(-L // block)
+            mask_temp = max(mask_temp, B * nheads * nb * block * 3 * block * 4)
+    return (est + mask_temp) * share > _REMAT_AUTO_BUDGET
 
 
 class _BertStyleEncoder:
@@ -282,7 +294,8 @@ class _BertStyleEncoder:
             # remat unless forced.
             return os.environ.get("MTS_REMAT", "1") != "0"
         windows = self.windows if self.windows is not None else [None] * self.n_layers
-        return _auto_remat(B, L, self.d_model, self.d_ff, self.nheads, windows)
+        return _auto_remat(B, L, self.d_model, self.d_ff, self.nheads, windows,
+                           attn_drop=self.attn_drop)
 
 
 # ---------------------------------------------------------------------------
@@ -368,8 +381,13 @@ class LongT5Encoder:
             # this program lands on the banded XLA path (traced dropout
             # rate, or flash disabled/off-TPU) — keep remat unless forced
             return os.environ.get("MTS_REMAT", "1") != "0"
+        # probs dropout here is self.drop (HF T5Attention uses dropout_rate
+        # for the softmaxed weights); a traced rate never reaches this
+        # branch (banded=True above)
+        rate = self.drop if isinstance(self.drop, (int, float)) else 0.0
         return _auto_remat(B, L, self.d_model, self.d_ff, self.nheads,
-                           [self.window] * self.n_layers, share=self.remat_share)
+                           [self.window] * self.n_layers, share=self.remat_share,
+                           attn_drop=rate)
 
 
 # ---------------------------------------------------------------------------

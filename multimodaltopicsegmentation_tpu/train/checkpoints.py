@@ -33,10 +33,14 @@ def parse_checkpoint_name(path: str) -> Tuple[float, float]:
     """-> (threshold, val_loss), reference parse (train_fit.py:337-338).
 
     The `final=0.500.ckpt` shape this module also writes has no epoch/loss
-    fields — the split-based parse would choke on it, so it short-circuits
-    to the save-last defaults."""
+    fields — the split-based parse would choke on it (the reference's own
+    parse crashes there), so it short-circuits to the save-last threshold
+    and a NaN SENTINEL for the loss: there is no monitored loss in that
+    filename, and a synthesized number must not be mistakable for a real
+    one in best-config selection. Call sites resolve the NaN explicitly
+    (see cli/train_fit._resolve_monitored)."""
     if os.path.basename(path).startswith("final="):
-        return 0.5, 0.5
+        return 0.5, float("nan")
     threshold = float(path.split("=")[-1][:4])
     val_loss = float(path.split("=")[-2][:6])
     return threshold, val_loss

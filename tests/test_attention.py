@@ -392,3 +392,48 @@ def test_flash_biased_dropped_matches_xla_incl_bias_grad():
     g_got = jax.grad(loss_flash, argnums=(0, 1, 2, 3))(q, k, v, table)
     for a, b in zip(g_ref, g_got):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=2e-5)
+
+
+@pytest.mark.parametrize("variant", ["plain", "biased"])
+def test_flash_dropped_non_coinciding_geometry_self_consistent(variant):
+    """window 24: half-window 12 rounds to flash block 16 while the XLA
+    banded path blocks at 12, so the two paths draw DIFFERENT dropout masks
+    and bit-parity cannot hold (it only can when window//2 is a multiple of
+    the sublane quantum 8). What must still hold is the pair's own
+    fwd/bwd consistency — the backward regenerates the forward's exact
+    mask from the key — which a finite-difference gradient check pins."""
+    from jax.test_util import check_grads
+    from multimodaltopicsegmentation_tpu.ops.pallas_attention import (
+        flash_local_attention_biased_dropped,
+        flash_local_attention_dropped,
+    )
+
+    window, L = 24, 40
+    key = jax.random.PRNGKey(17)
+    if variant == "plain":
+        q, k, v = _rand_qkv(14, L=L)
+        lengths = np.array([L, L - 7])
+        mask = jnp.asarray(
+            (np.arange(L)[None, :] < lengths[:, None]).astype(np.float32))
+        m4 = mask[:, None, :, None]
+
+        def f(q, k, v):
+            o = flash_local_attention_dropped(q, k, v, mask, key, window,
+                                              0.3, True)
+            return jnp.sum(jnp.sin(o) * m4)
+
+        args = (q, k, v)
+    else:
+        q, k, v, mask, table, bias_fn_of, rel = _biased_setup(15, window, L)
+        m4 = mask[:, None, :, None]
+
+        def f(q, k, v, tbl):
+            o = flash_local_attention_biased_dropped(
+                q, k, v, mask, bias_fn_of(tbl)(rel), key, window, 0.3,
+                False, True)
+            return jnp.sum(jnp.sin(o) * m4)
+
+        args = (q, k, v, table)
+
+    assert np.isfinite(float(f(*args)))
+    check_grads(f, args, order=1, modes=["rev"], atol=2e-2, rtol=2e-2)

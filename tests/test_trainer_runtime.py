@@ -255,3 +255,26 @@ def test_decode_queue_window_many_batches(tmp_path, rng):
     th_s, val_s = trainer.search_threshold(params, batches[:1])
     assert th in (0.05, 0.1, 0.2, 0.3, 0.4, 0.5, 0.6) and np.isfinite(val)
     assert th_s in (0.05, 0.1, 0.2, 0.3, 0.4, 0.5, 0.6)
+
+
+def test_final_checkpoint_parse_sentinel(tmp_path, monkeypatch):
+    """`final=0.500.ckpt` has no monitored loss in its name: the parse must
+    return a NaN sentinel (not a synthesized 0.5 indistinguishable from a
+    real loss), and train_fit's resolver must log the synthesis while
+    falling back to the reference's 0.5 for selection."""
+    from multimodaltopicsegmentation_tpu.train import checkpoints as ckpt_lib
+    from multimodaltopicsegmentation_tpu.cli.train_fit import _resolve_monitored
+
+    th, vl = ckpt_lib.parse_checkpoint_name("checkpoints/final=0.500.ckpt")
+    assert th == 0.5 and np.isnan(vl)
+
+    # a real checkpoint name still parses exactly
+    name = ckpt_lib.checkpoint_name(epoch=7, monitored=0.1234, threshold=0.4)
+    th, vl = ckpt_lib.parse_checkpoint_name(name)
+    assert (th, vl) == (0.4, 0.1234)
+
+    monkeypatch.chdir(tmp_path)
+    assert _resolve_monitored(vl) == 0.1234  # real loss passes through, no log
+    assert not (tmp_path / "logs").exists()
+    assert _resolve_monitored(float("nan")) == 0.5
+    assert "synthesized" in (tmp_path / "logs").read_text()
