@@ -31,10 +31,15 @@ compile server's queue is erratic (same-HLO compiles measured 21 s to
 the staged records defend against.
 """
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+# per-pass headline throughputs, stashed by bench_predict_wav2vec_tpu for
+# the record's contention-attribution field
+_HEADLINE_PASSES = None
 
 SR = 16000
 SECS = 600  # 10 minutes
@@ -129,13 +134,22 @@ def bench_predict_wav2vec_tpu(chunk: int = 150) -> float:
     # once at the end. The remote-tunnel dispatch latency (~30 ms/call on
     # axon) pipelines away exactly as it does when predict processes a
     # corpus; per-call fencing would measure the tunnel, not the chip.
+    # Three timed passes: the best is the headline (chip capability), the
+    # per-pass spread is the record's contention-attribution field — a run
+    # whose passes disagree by >~2% was measured on a noisy chip/tunnel
+    # (round-4 drift 83.2 -> 82.1 was unattributable without this).
     n = 10
-    t0 = time.time()
-    outs = [pipeline() for _ in range(n)]
-    for o in outs:
-        np.asarray(o)
-    dt = (time.time() - t0) / n
-    return (SECS / 60.0) / dt
+    passes = []
+    for _ in range(3):
+        t0 = time.time()
+        outs = [pipeline() for _ in range(n)]
+        for o in outs:
+            np.asarray(o)
+        dt = (time.time() - t0) / n
+        passes.append((SECS / 60.0) / dt)
+    global _HEADLINE_PASSES
+    _HEADLINE_PASSES = [round(p, 2) for p in passes]
+    return max(passes)
 
 
 def wav2vec2_flops_per_audio_sec(cfg) -> float:
@@ -603,6 +617,16 @@ def main():
         "value": round(value, 2),
         "unit": "audio-min/s",
     }
+    # contention attribution: per-pass spread (chip/tunnel noise) and the
+    # host 1-min loadavg (competing python processes slow the np.asarray
+    # pulls and the CPU baselines, not the chip)
+    if _HEADLINE_PASSES is not None:
+        record["headline_passes"] = _HEADLINE_PASSES
+    try:
+        record["host_load1"] = round(os.getloadavg()[0], 1)
+        record["host_ncpu"] = os.cpu_count()
+    except OSError:
+        pass
     if "value" in base:
         record["vs_baseline"] = round(value / base["value"], 2)
         record["baseline_audio_min_per_sec"] = round(base["value"], 4)

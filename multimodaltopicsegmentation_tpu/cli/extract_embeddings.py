@@ -74,6 +74,19 @@ def main(args):
     if os.path.exists(mean_dir):
         existent_files += os.listdir(mean_dir)
 
+    # rough corpus-size hint (drives the wav2vec2 param-storage
+    # auto-selection): 16 kHz 16-bit mono for wav, ~128 kbps for mp3 —
+    # the break-even is ~8e5 audio-minutes so precision is irrelevant
+    total_bytes = {"wav": 0, "mp3": 0}
+    for root, _dirs, files in os.walk(args.audio_directory):
+        for file in files:
+            ext = file[-3:]
+            if ext in total_bytes:
+                total_bytes[ext] += os.path.getsize(os.path.join(root, file))
+    args._expected_audio_min = (
+        total_bytes["wav"] / (16000 * 2) + total_bytes["mp3"] * 8 / 128000
+    ) / 60.0
+
     encoder = build_encoder(args)
 
     # pair audio files with transcripts (reference regex pairing,

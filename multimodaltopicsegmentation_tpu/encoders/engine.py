@@ -78,21 +78,31 @@ class Wav2Vec2Encoder:
     dim = 768
     frame_level = True
 
-    def __init__(self, name_or_path: str = "facebook/wav2vec2-base-960h"):
+    def __init__(self, name_or_path: str = "facebook/wav2vec2-base-960h",
+                 expected_audio_min: float = None):
         from . import wav2vec2 as W
 
+        # param-storage auto-selection: per-layer buffers only when the
+        # corpus amortizes their extra cold compile (W.choose_stacked_storage;
+        # MTS_W2V2_STACKED always wins). No hint -> env/stacked default.
+        stacked = (
+            W.choose_stacked_storage(expected_audio_min)
+            if expected_audio_min is not None else None
+        )
         if os.environ.get("MTS_RANDOM_ENCODER_WEIGHTS") == "1":
             print(
                 "WARNING: MTS_RANDOM_ENCODER_WEIGHTS=1 — wav2vec2 runs with "
                 "RANDOM weights (smoke-test mode, embeddings are meaningless)"
             )
             self.cfg = W.Wav2Vec2Config.base()
-            self.params = W.init_params(jax.random.PRNGKey(0), self.cfg)
+            self.params = W.init_params(jax.random.PRNGKey(0), self.cfg,
+                                        stacked=stacked)
         else:
             # MTS_WAV2VEC2_WEIGHTS points at a local HF checkpoint directory
             # (tools/convert_weights.py wav2vec2) for zero-egress hosts
             self.params, self.cfg = W.load_pretrained(
-                os.environ.get("MTS_WAV2VEC2_WEIGHTS", name_or_path)
+                os.environ.get("MTS_WAV2VEC2_WEIGHTS", name_or_path),
+                stacked=stacked,
             )
         # params must be an ARGUMENT, not a closure: closed-over weights are
         # baked into the HLO as constants (385 MB for base — breaks the
@@ -168,7 +178,9 @@ def build_encoder(args) -> object:
     if getattr(args, "mfcc", False):
         return MFCCEncoder()
     if getattr(args, "wav2vec", False):
-        return Wav2Vec2Encoder()
+        return Wav2Vec2Encoder(
+            expected_audio_min=getattr(args, "_expected_audio_min", None)
+        )
     if getattr(args, "CREPE", False):
         from .crepe import CrepeEncoder
 

@@ -133,8 +133,9 @@ def _group_norm(p, x, groups, eps=1e-5, frame_mask=None):
     return xg.reshape(B, T, C) * p["scale"] + p["bias"]
 
 
-def init_params(rng, cfg: Wav2Vec2Config) -> dict:
-    """Random init (HF-equivalent shapes; used for tests / no-weights mode)."""
+def init_params(rng, cfg: Wav2Vec2Config, stacked: bool = None) -> dict:
+    """Random init (HF-equivalent shapes; used for tests / no-weights mode).
+    `stacked=None` reads the MTS_W2V2_STACKED env default."""
     params = {"feature_extractor": [], "encoder_layers": []}
     n_keys = len(cfg.conv_dim) + 3 + 6 * cfg.num_layers
     keys = jax.random.split(rng, n_keys)
@@ -172,7 +173,7 @@ def init_params(rng, cfg: Wav2Vec2Config) -> dict:
                 "ln2": {"scale": jnp.ones((D,)), "bias": jnp.zeros((D,))},
             }
         )
-    if _stacked_storage():
+    if _stacked_storage() if stacked is None else stacked:
         params["encoder_layers"] = _stack_layers(params["encoder_layers"])
     return params
 
@@ -197,6 +198,34 @@ def _stacked_storage() -> bool:
     import os
 
     return os.environ.get("MTS_W2V2_STACKED", "1") == "1"
+
+
+# Round-4 A/B constants behind choose_stacked_storage
+# (docs/PERFORMANCE.md:177-191): per-layer storage runs ~1.5% faster in
+# steady state but costs 124-310 s of extra cold compile on the
+# remote-compile tunnel.
+_STACKED_AUDIO_MIN_PER_S = 82.0   # measured stacked throughput
+_PER_LAYER_SPEEDUP = 0.015        # measured steady-state gain
+_PER_LAYER_COMPILE_COST_S = 150.0 # extra cold-compile cost (low-mid of range)
+
+
+def choose_stacked_storage(corpus_audio_min: float) -> bool:
+    """True = stacked [L,...] storage, False = per-layer buffers.
+
+    Auto-selection: per-layer storage only pays when the corpus is large
+    enough that its ~1.5% steady-state gain amortizes the 124-310 s extra
+    cold compile. At 82 audio-min/s, one audio-minute of corpus saves
+    0.015/82 s ~= 0.18 ms of wall — break-even is ~8e5 audio-minutes
+    (~13k hours), far beyond the paper corpora (~1.5k audio-min), so
+    stacked is the practical default and this is mostly a guardrail plus
+    an honest record of the tradeoff. MTS_W2V2_STACKED, when set, always
+    wins (it is the operator override)."""
+    import os
+
+    if "MTS_W2V2_STACKED" in os.environ:
+        return _stacked_storage()
+    saving_per_audio_min = _PER_LAYER_SPEEDUP / _STACKED_AUDIO_MIN_PER_S
+    return corpus_audio_min * saving_per_audio_min < _PER_LAYER_COMPILE_COST_S
 
 
 def feature_extractor_output_length(cfg: Wav2Vec2Config, n_samples: int) -> int:
@@ -319,7 +348,7 @@ def apply(params: dict, cfg: Wav2Vec2Config, audio: jnp.ndarray,
 # ---------------------------------------------------------------------------
 
 
-def convert_torch_state_dict(sd: dict, cfg: Wav2Vec2Config) -> dict:
+def convert_torch_state_dict(sd: dict, cfg: Wav2Vec2Config, stacked: bool = None) -> dict:
     """HF Wav2Vec2Model state_dict (torch tensors or numpy) -> param pytree."""
 
     def g(name):
@@ -382,12 +411,13 @@ def convert_torch_state_dict(sd: dict, cfg: Wav2Vec2Config) -> dict:
                 },
             }
         )
-    if _stacked_storage():
+    if _stacked_storage() if stacked is None else stacked:
         p["encoder_layers"] = _stack_layers(p["encoder_layers"])
     return p
 
 
-def load_pretrained(name_or_path: str = "facebook/wav2vec2-base-960h"):
+def load_pretrained(name_or_path: str = "facebook/wav2vec2-base-960h",
+                    stacked: bool = None):
     """Load a HF checkpoint (local path or cached hub name) -> (params, cfg).
 
     Raises a clear error when the checkpoint is unavailable (this
@@ -403,4 +433,4 @@ def load_pretrained(name_or_path: str = "facebook/wav2vec2-base-960h"):
             "(no network egress). Provide a local checkpoint directory, or "
             "use the prosodic/mfcc encoders which need no weights."
         ) from e
-    return convert_torch_state_dict(model.state_dict(), cfg), cfg
+    return convert_torch_state_dict(model.state_dict(), cfg, stacked=stacked), cfg

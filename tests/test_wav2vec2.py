@@ -119,3 +119,28 @@ def test_stacked_matches_list_storage(torch_pair, monkeypatch):
         monkeypatch.setenv("MTS_W2V2_SCAN_UNROLL", unroll)
         out = np.asarray(W.apply(params_stacked, cfg, jnp.asarray(audio)))
         np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
+def test_choose_stacked_storage(monkeypatch):
+    """Param-storage auto-selection (VERDICT r4 #4): stacked for any real
+    corpus, per-layer only past the ~8e5 audio-minute break-even where its
+    1.5% steady-state gain amortizes the 124-310 s extra cold compile;
+    MTS_W2V2_STACKED, when set, always wins."""
+    import jax
+
+    monkeypatch.delenv("MTS_W2V2_STACKED", raising=False)
+    assert W.choose_stacked_storage(1500.0)      # paper-scale corpus
+    assert W.choose_stacked_storage(100_000.0)   # still under break-even
+    assert not W.choose_stacked_storage(2e6)     # amortizes: per-layer
+    monkeypatch.setenv("MTS_W2V2_STACKED", "1")
+    assert W.choose_stacked_storage(2e6)         # operator override wins
+    monkeypatch.setenv("MTS_W2V2_STACKED", "0")
+    assert not W.choose_stacked_storage(1.0)
+
+    # the explicit stacked= arg overrides the env default at init time
+    monkeypatch.delenv("MTS_W2V2_STACKED", raising=False)
+    cfg = W.Wav2Vec2Config.tiny()
+    p = W.init_params(jax.random.PRNGKey(0), cfg, stacked=False)
+    assert isinstance(p["encoder_layers"], list)
+    p = W.init_params(jax.random.PRNGKey(0), cfg, stacked=True)
+    assert not isinstance(p["encoder_layers"], list)
