@@ -35,6 +35,19 @@ from jax import lax
 from .masks import length_mask, reverse_in_length
 
 
+def _scan_unroll() -> int:
+    """Scan unroll depth (default 8 — measured best at the 512-step
+    flagship shape). Round-5 sweep at the 3600-step RecurrentLongT5 block
+    shapes (scripts/bench_lstm_unroll.py, fwd+bwd): unroll 4/8 tie within
+    noise (62.3/62.6 ms for both blocks), 16 costs +9%, 32/64 +36% — the
+    scan is latency-bound on its sequential dependency, not on loop
+    overhead, so the default stands for both regimes. MTS_LSTM_UNROLL
+    overrides for experiments; read at trace time."""
+    import os
+
+    return int(os.environ.get("MTS_LSTM_UNROLL", "8"))
+
+
 def lstm_params(rng, in_dim: int, hidden: int, dtype=jnp.float32) -> dict:
     k1, k2 = jax.random.split(rng)
     w_ih = jax.nn.initializers.xavier_uniform()(k1, (in_dim, 4 * hidden), dtype)
@@ -99,7 +112,7 @@ def lstm_scan(params: dict, x: jnp.ndarray) -> jnp.ndarray:
     h0 = jnp.zeros((B, H), x.dtype)
     c0 = jnp.zeros((B, H), x.dtype)
     # unroll amortizes scan-iteration overhead on TPU (~25% measured on v5e)
-    _, ys = lax.scan(step, (h0, c0), xp, unroll=8)
+    _, ys = lax.scan(step, (h0, c0), xp, unroll=_scan_unroll())
     return jnp.transpose(ys, (1, 0, 2))
 
 
@@ -124,7 +137,7 @@ def gru_scan(params: dict, x: jnp.ndarray) -> jnp.ndarray:
         return h, h
 
     h0 = jnp.zeros((B, H), x.dtype)
-    _, ys = lax.scan(step, h0, xp, unroll=8)
+    _, ys = lax.scan(step, h0, xp, unroll=_scan_unroll())
     return jnp.transpose(ys, (1, 0, 2))
 
 
@@ -166,7 +179,7 @@ def bidirectional_rnn(
 
         h0 = jnp.zeros((2, B, H), x.dtype)
         c0 = jnp.zeros((2, B, H), x.dtype)
-        _, ys = lax.scan(step, (h0, c0), xp, unroll=8)
+        _, ys = lax.scan(step, (h0, c0), xp, unroll=_scan_unroll())
     else:
         H = fwd_params["w_hh"].shape[0]
         wis = jnp.stack([fwd_params["w_ih"], bwd_params["w_ih"]])
@@ -187,7 +200,7 @@ def bidirectional_rnn(
             return h, h
 
         h0 = jnp.zeros((2, B, H), x.dtype)
-        _, ys = lax.scan(step, h0, xp, unroll=8)
+        _, ys = lax.scan(step, h0, xp, unroll=_scan_unroll())
 
     ys = jnp.transpose(ys, (1, 2, 0, 3))  # [2, B, L, H]
     y_b = reverse_in_length(ys[1], lengths)
