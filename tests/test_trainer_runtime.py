@@ -226,11 +226,19 @@ def test_predict_handles_domain_and_double(tmp_path):
     assert len(tags2) == B and all(len(x) == L for x in tags2)
 
 
-def test_decode_queue_window_many_batches(tmp_path, rng):
+def test_decode_queue_window_many_batches(tmp_path, rng, monkeypatch):
     """More batches than DECODE_QUEUE_DEPTH: the sliding drain must keep
     results in batch order and identical to a one-batch-at-a-time run
-    through test(), predict(), and search_threshold()."""
-    from multimodaltopicsegmentation_tpu.train.loop import DECODE_QUEUE_DEPTH
+    through test(), predict(), and search_threshold().
+
+    The depth is monkeypatched down to 3 (read at call time in
+    BoundedDrain): the overflow property is depth-relative, and driving
+    12 batches against the production depth 8 made this the fast tier's
+    single most expensive test (50 s; round-5 latency pass)."""
+    from multimodaltopicsegmentation_tpu.train import loop as loop_mod
+
+    monkeypatch.setattr(loop_mod, "DECODE_QUEUE_DEPTH", 3)
+    DECODE_QUEUE_DEPTH = 3
 
     trainer, cfg = _trainer(tmp_path)
     params = trainer.arch.init(jax.random.PRNGKey(0))
