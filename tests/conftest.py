@@ -22,9 +22,19 @@ jax.config.update("jax_platforms", "cpu")
 
 # Persistent XLA compilation cache: the suite's cost is dominated by
 # CPU compiles of the same programs run after run (round-5 latency pass:
-# fast tier 15:13 cold). Keyed by HLO hash, so staleness is impossible by
-# construction; the directory is gitignored. Threshold 0.5 s keeps the
-# thousands of trivial compiles out of the cache.
+# fast tier 15:13 cold -> 5:50 warm). Keyed by HLO hash, so staleness is
+# impossible by construction; the directory is gitignored. Threshold 0.5 s
+# keeps the thousands of trivial compiles out of the cache.
+#
+# SCOPE: single-device programs ONLY. On this image's XLA:CPU, a CACHE-HIT
+# (AOT-deserialized) executable containing cross-device collectives
+# deadlocks at the rendezvous ("Termination timeout for all reduce ... of
+# 40 seconds exceeded", rendezvous.cc check-fail -> SIGABRT; reproduced
+# deterministically in test_parallel with the cache on, passes with it
+# off). The autouse fixture below disables the cache for the multi-device
+# test modules, and the env-var spelling is deliberately NOT exported so
+# subprocess tests (dryrun re-execs, multihost workers — all multi-device)
+# never inherit it.
 _cache_dir = os.environ.get(
     "MTS_TEST_JAX_CACHE",
     os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
@@ -32,10 +42,20 @@ _cache_dir = os.environ.get(
 if _cache_dir != "0":
     jax.config.update("jax_compilation_cache_dir", _cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-    # the env-var spelling reaches the SUBPROCESS tests too (multihost
-    # workers, dryrun re-execs, shell drivers) — they import jax fresh and
-    # would otherwise recompile cold every run
-    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", _cache_dir)
+
+_MULTIDEVICE_MODULES = frozenset({
+    "test_parallel",
+    "test_sequence_parallel",
+    "test_pipeline_parallel",
+    "test_expert_parallel",
+    "test_predict_sharded",
+    "test_trainer_parallel_modes",
+    "test_grid_trainer",
+    "test_trainer_runtime",  # mesh-sharded Trainer.fit parity tests
+    "test_multihost",
+    "test_graft_entry",
+    "test_tpu_smoke",
+})
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
@@ -43,6 +63,21 @@ import pytest  # noqa: E402
 
 def pytest_configure(config):
     assert jax.devices()[0].platform == "cpu"
+
+
+@pytest.fixture(autouse=True)
+def _scoped_compile_cache(request):
+    """Disable the persistent compile cache inside multi-device test
+    modules (see the SCOPE note above) and restore it afterwards."""
+    mod = request.module.__name__.rsplit(".", 1)[-1]
+    if _cache_dir != "0" and mod in _MULTIDEVICE_MODULES:
+        jax.config.update("jax_compilation_cache_dir", None)
+        try:
+            yield
+        finally:
+            jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    else:
+        yield
 
 
 @pytest.fixture

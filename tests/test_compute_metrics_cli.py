@@ -63,7 +63,7 @@ import pytest
 
 
 @pytest.mark.slow
-def test_train_fit_chain(tmp_path):
+def test_train_fit_chain(tmp_path, monkeypatch):
     """The reference flow chained END TO END: cli/train_fit.py trains real
     experiments (producing all_scores.json), then
     compute_accuracy_metrics_sentence consumes those ACTUAL experiment
@@ -100,7 +100,9 @@ def test_train_fit_chain(tmp_path):
                 "-split", split, "-hs", "-huss", "32", "-nlss", "1",
                 "-diss", "0.0", "-doss", "0.0",
             ])
-            tf.EMBEDDING_SIZES[enc] = 32  # synthetic corpus is 32-d
+            # synthetic corpus is 32-d; setitem so the real dims (768/512)
+            # are restored for later tests in the same process
+            monkeypatch.setitem(tf.EMBEDDING_SIZES, enc, 32)
             tf.main(args)
         finally:
             os.chdir(cwd)
