@@ -26,15 +26,20 @@ jax.config.update("jax_platforms", "cpu")
 # impossible by construction; the directory is gitignored. Threshold 0.5 s
 # keeps the thousands of trivial compiles out of the cache.
 #
-# SCOPE: single-device programs ONLY. On this image's XLA:CPU, a CACHE-HIT
-# (AOT-deserialized) executable containing cross-device collectives
-# deadlocks at the rendezvous ("Termination timeout for all reduce ... of
-# 40 seconds exceeded", rendezvous.cc check-fail -> SIGABRT; reproduced
-# deterministically in test_parallel with the cache on, passes with it
-# off). The autouse fixture below disables the cache for the multi-device
-# test modules, and the env-var spelling is deliberately NOT exported so
-# subprocess tests (dryrun re-execs, multihost workers — all multi-device)
-# never inherit it.
+# SCOPE: the cache is UNSAFE in any process that also executes
+# cross-device collective programs on this image's XLA:CPU: once an AOT
+# entry has been loaded, a later sharded program (even freshly compiled)
+# can hang at a collective rendezvous ("Termination timeout for all
+# reduce ... of 40 seconds exceeded", rendezvous.cc check-fail ->
+# SIGABRT). Measured round 5: deterministic with warm test_parallel,
+# reproducible with device_epochs(warm)->test_parallel, and FLAKY in
+# mixed orders — so per-module scoping is not safe either. Policy: if the
+# collected run contains ANY multi-device module, the cache is disabled
+# for the WHOLE run (pytest_collection_modifyitems below). The fast tier
+# (-m "not slow") contains no multi-device tests and keeps the warm-cache
+# speedup; the full gate runs uncached. The env-var spelling is never
+# exported, so subprocess tests (dryrun re-execs, multihost workers — all
+# multi-device) cannot inherit it.
 _cache_dir = os.environ.get(
     "MTS_TEST_JAX_CACHE",
     os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
@@ -51,11 +56,19 @@ _MULTIDEVICE_MODULES = frozenset({
     "test_predict_sharded",
     "test_trainer_parallel_modes",
     "test_grid_trainer",
-    "test_trainer_runtime",  # mesh-sharded Trainer.fit parity tests
     "test_multihost",
     "test_graft_entry",
-    "test_tpu_smoke",
+    # test_tpu_smoke is NOT listed: it is env-gated (MTS_TPU_TESTS=1) onto
+    # the axon TPU backend, not XLA:CPU, and its always-collected skip
+    # stub must not cost fast-tier runs the cache
 })
+
+# modules that are mostly single-device but carry a few collective tests
+# (all slow-marked): trigger on the specific items so fast-tier runs of
+# the module keep the cache
+_MULTIDEVICE_ITEM_PREFIXES = {
+    "test_trainer_runtime": ("test_mesh_fit",),
+}
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
@@ -65,19 +78,31 @@ def pytest_configure(config):
     assert jax.devices()[0].platform == "cpu"
 
 
-@pytest.fixture(autouse=True)
-def _scoped_compile_cache(request):
-    """Disable the persistent compile cache inside multi-device test
-    modules (see the SCOPE note above) and restore it afterwards."""
-    mod = request.module.__name__.rsplit(".", 1)[-1]
-    if _cache_dir != "0" and mod in _MULTIDEVICE_MODULES:
+@pytest.hookimpl(trylast=True)
+def pytest_collection_modifyitems(config, items):
+    """Disable the persistent compile cache for the WHOLE run when any
+    multi-device test was actually SELECTED (trylast: runs after the -m
+    marker deselection has pruned `items`, so a fast tier that merely
+    collected-then-deselected the slow collective suites keeps the
+    cache)."""
+    if _cache_dir == "0":
+        return
+
+    def _is_multi(item):
+        fname = item.nodeid.split("::", 1)[0]
+        mod = os.path.splitext(os.path.basename(fname))[0]
+        if mod in _MULTIDEVICE_MODULES:
+            return True
+        prefixes = _MULTIDEVICE_ITEM_PREFIXES.get(mod, ())
+        return any(item.name.startswith(p) for p in prefixes)
+
+    if any(_is_multi(i) for i in items):
         jax.config.update("jax_compilation_cache_dir", None)
-        try:
-            yield
-        finally:
-            jax.config.update("jax_compilation_cache_dir", _cache_dir)
-    else:
-        yield
+        print(
+            "[conftest] multi-device tests collected -> persistent compile "
+            "cache disabled for this run (XLA:CPU AOT + collectives is "
+            "unsafe in one process)"
+        )
 
 
 @pytest.fixture

@@ -3,10 +3,15 @@ import os
 import pickle
 
 import numpy as np
+import pytest
 
 import jax
 
 from tests.synth import make_synthetic_corpus
+
+# multi-device collective suite: slow tier, like its shard_map siblings
+# (keeps the fast tier collective-free so it can use the compile cache)
+pytestmark = pytest.mark.slow
 
 
 def test_predict_shards_documents(tmp_path):
