@@ -45,7 +45,10 @@ def test_dryrun_survives_preinitialized_backend():
         env=_scrubbed_env(),
         capture_output=True,
         text=True,
-        timeout=600,
+        # the dryrun grew a lockstep-grid fit and a 2-process Gloo smoke in
+        # round 5 (~+90 s solo); under full-suite contention on this 1-CPU
+        # host the old 600 s bound was marginal
+        timeout=1200,
     )
     assert proc.returncode == 0, proc.stderr
     assert "dryrun_multichip(8)" in proc.stdout and " ok" in proc.stdout, proc.stdout
