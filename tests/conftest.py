@@ -78,25 +78,38 @@ def pytest_configure(config):
     assert jax.devices()[0].platform == "cpu"
 
 
-@pytest.hookimpl(trylast=True)
+def _is_multi(item):
+    fname = item.nodeid.split("::", 1)[0]
+    mod = os.path.splitext(os.path.basename(fname))[0]
+    if mod in _MULTIDEVICE_MODULES:
+        return True
+    prefixes = _MULTIDEVICE_ITEM_PREFIXES.get(mod, ())
+    return any(item.name.startswith(p) for p in prefixes)
+
+
 def pytest_collection_modifyitems(config, items):
-    """Disable the persistent compile cache for the WHOLE run when any
-    multi-device test was actually SELECTED (trylast: runs after the -m
-    marker deselection has pruned `items`, so a fast tier that merely
-    collected-then-deselected the slow collective suites keeps the
+    """Tag collective tests with the `multidevice` marker (so a gate can
+    select `-m "slow and not multidevice"` and keep the compile cache for
+    the single-device slow suites — see scripts/gate.sh), and disable the
+    persistent compile cache for the WHOLE run when any multi-device test
+    was actually SELECTED. Marker application must run BEFORE pytest's own
+    deselection prunes `items`; the cache decision must run AFTER — so the
+    cache check re-walks `items` in a trylast hook below."""
+    for item in items:
+        if _is_multi(item):
+            item.add_marker(pytest.mark.multidevice)
+
+
+@pytest.hookimpl(trylast=True)
+def pytest_collection_finish(session):
+    """Cache decision on the post-deselection item set (trylast: runs after
+    the -m marker deselection has pruned `session.items`, so a tier that
+    merely collected-then-deselected the collective suites keeps the
     cache)."""
     if _cache_dir == "0":
         return
 
-    def _is_multi(item):
-        fname = item.nodeid.split("::", 1)[0]
-        mod = os.path.splitext(os.path.basename(fname))[0]
-        if mod in _MULTIDEVICE_MODULES:
-            return True
-        prefixes = _MULTIDEVICE_ITEM_PREFIXES.get(mod, ())
-        return any(item.name.startswith(p) for p in prefixes)
-
-    if any(_is_multi(i) for i in items):
+    if any(_is_multi(i) for i in session.items):
         jax.config.update("jax_compilation_cache_dir", None)
         print(
             "[conftest] multi-device tests collected -> persistent compile "
