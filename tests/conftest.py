@@ -55,7 +55,6 @@ _MULTIDEVICE_MODULES = frozenset({
     "test_expert_parallel",
     "test_predict_sharded",
     "test_trainer_parallel_modes",
-    "test_grid_trainer",
     "test_multihost",
     "test_graft_entry",
     # test_tpu_smoke is NOT listed: it is env-gated (MTS_TPU_TESTS=1) onto
@@ -64,10 +63,14 @@ _MULTIDEVICE_MODULES = frozenset({
 })
 
 # modules that are mostly single-device but carry a few collective tests
-# (all slow-marked): trigger on the specific items so fast-tier runs of
-# the module keep the cache
+# (all slow-marked): trigger on the specific items so runs of the rest of
+# the module keep the cache. test_grid_trainer's lockstep-grid tests are
+# pure single-device vmap programs (GridTrainer without a mesh, and the
+# -pg CLI parity pair) — only the config-axis mesh-sharding test runs
+# collectives.
 _MULTIDEVICE_ITEM_PREFIXES = {
     "test_trainer_runtime": ("test_mesh_fit",),
+    "test_grid_trainer": ("test_grid_mesh_config_sharding",),
 }
 
 import numpy as np  # noqa: E402

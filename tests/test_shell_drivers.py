@@ -44,6 +44,17 @@ def test_run_radionews_unimodal_driver():
             MTS_PATIENCE="2",
             MTS_FORCE_CPU="1",  # core.jax_setup honors this in the CLI shims
         )
+        # The driver subprocess is strictly single-device (MTS_FORCE_CPU,
+        # no parallel flags), so the XLA:CPU AOT-cache + collectives
+        # deadlock (tests/conftest.py) cannot occur in it — hand it the
+        # suite's persistent compile cache. Measured: this test is the
+        # single slowest in the suite (206 s) and is compile-dominated.
+        cache = os.environ.get(
+            "MTS_TEST_JAX_CACHE", os.path.join(REPO, "tests", ".jax_cache")
+        )
+        if cache != "0":
+            env["JAX_COMPILATION_CACHE_DIR"] = cache
+            env["JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS"] = "0.5"
         script = os.path.join(REPO, "scripts", "RadioNews-SBBC",
                               "run_radionews_unimodal.sh")
         proc = subprocess.run(
