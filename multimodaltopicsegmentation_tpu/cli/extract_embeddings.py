@@ -76,16 +76,26 @@ def main(args):
 
     # rough corpus-size hint (drives the wav2vec2 param-storage
     # auto-selection): 16 kHz 16-bit mono for wav, ~128 kbps for mp3 —
-    # the break-even is ~8e5 audio-minutes so precision is irrelevant
-    total_bytes = {"wav": 0, "mp3": 0}
-    for root, _dirs, files in os.walk(args.audio_directory):
-        for file in files:
-            ext = file[-3:]
-            if ext in total_bytes:
-                total_bytes[ext] += os.path.getsize(os.path.join(root, file))
-    args._expected_audio_min = (
-        total_bytes["wav"] / (16000 * 2) + total_bytes["mp3"] * 8 / 128000
-    ) / 60.0
+    # the break-even is ~8e5 audio-minutes so precision is irrelevant.
+    # Only wav2vec consumes the hint (engine.build_encoder), so skip the
+    # stat walk for every other encoder; an unstattable entry (dangling
+    # symlink, permission hole) counts as 0 rather than aborting the run —
+    # the pairing walk below has never stat()ed files.
+    if getattr(args, "wav2vec", False):
+        total_bytes = {"wav": 0, "mp3": 0}
+        for root, _dirs, files in os.walk(args.audio_directory):
+            for file in files:
+                ext = file[-3:]
+                if ext in total_bytes:
+                    try:
+                        total_bytes[ext] += os.path.getsize(
+                            os.path.join(root, file)
+                        )
+                    except OSError:
+                        pass
+        args._expected_audio_min = (
+            total_bytes["wav"] / (16000 * 2) + total_bytes["mp3"] * 8 / 128000
+        ) / 60.0
 
     encoder = build_encoder(args)
 

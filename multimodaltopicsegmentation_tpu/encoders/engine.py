@@ -89,7 +89,14 @@ class Wav2Vec2Encoder:
             W.choose_stacked_storage(expected_audio_min)
             if expected_audio_min is not None else None
         )
-        if os.environ.get("MTS_RANDOM_ENCODER_WEIGHTS") == "1":
+        # Precedence matches the crepe/openl3 hooks: EXPLICIT weights
+        # (MTS_WAV2VEC2_WEIGHTS, a local HF checkpoint directory from
+        # tools/convert_weights.py, for zero-egress hosts) always win over
+        # the random-weight smoke mode — a deployment that exports real
+        # weights must not be silently degraded by a leftover
+        # MTS_RANDOM_ENCODER_WEIGHTS=1.
+        weights = os.environ.get("MTS_WAV2VEC2_WEIGHTS") or None
+        if weights is None and os.environ.get("MTS_RANDOM_ENCODER_WEIGHTS") == "1":
             print(
                 "WARNING: MTS_RANDOM_ENCODER_WEIGHTS=1 — wav2vec2 runs with "
                 "RANDOM weights (smoke-test mode, embeddings are meaningless)"
@@ -98,11 +105,8 @@ class Wav2Vec2Encoder:
             self.params = W.init_params(jax.random.PRNGKey(0), self.cfg,
                                         stacked=stacked)
         else:
-            # MTS_WAV2VEC2_WEIGHTS points at a local HF checkpoint directory
-            # (tools/convert_weights.py wav2vec2) for zero-egress hosts
             self.params, self.cfg = W.load_pretrained(
-                os.environ.get("MTS_WAV2VEC2_WEIGHTS", name_or_path),
-                stacked=stacked,
+                weights or name_or_path, stacked=stacked,
             )
         # params must be an ARGUMENT, not a closure: closed-over weights are
         # baked into the HLO as constants (385 MB for base — breaks the

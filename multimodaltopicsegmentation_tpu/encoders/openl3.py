@@ -128,7 +128,15 @@ class OpenL3Encoder:
 
     def __init__(self, n_mels: int = 128, weights: str = None):
         self.n_mels = n_mels
-        weights = weights or os.environ.get("MTS_OPENL3_WEIGHTS")
+        # The two deployed variants (mel128/env for training-time extraction,
+        # mel256/music for inference — engine.py:178) need DIFFERENT
+        # converted checkpoints, and load_weights cannot tell them apart
+        # (conv/bn shapes are n_mels-independent). Resolve a variant-specific
+        # env var first so exporting both never cross-loads; the generic
+        # MTS_OPENL3_WEIGHTS remains as a single-variant fallback.
+        weights = (weights
+                   or os.environ.get(f"MTS_OPENL3_WEIGHTS_MEL{n_mels}")
+                   or os.environ.get("MTS_OPENL3_WEIGHTS"))
         if weights:
             self.params = load_weights(weights, n_mels)
         elif os.environ.get("MTS_RANDOM_ENCODER_WEIGHTS") == "1":

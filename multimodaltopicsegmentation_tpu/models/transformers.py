@@ -194,9 +194,12 @@ def _auto_remat(B, L, d_model, d_ff, nheads, layer_windows, share=1,
             # [B*H, nb*block, 3*block] 0/1 mask in HBM for the forward and
             # regenerates it in the backward (ops/pallas_attention._drop_mask
             # — a transient, NOT a stored residual, so only the largest
-            # layer's mask is alive at once; ~0.4 GB at the flagship shape)
-            block = -(-(w // 2) // 8) * 8
-            nb = -(-L // block)
+            # layer's mask is alive at once; ~0.4 GB at the flagship shape).
+            # Block geometry must mirror the kernel's _flash_geometry, incl.
+            # the MTS_FLASH_BLOCK_QUANT widening knob.
+            from ..ops.pallas_attention import _flash_geometry
+
+            block, nb, _pad = _flash_geometry(L, w // 2)
             mask_temp = max(mask_temp, B * nheads * nb * block * 3 * block * 4)
     return (est + mask_temp) * share > _REMAT_AUTO_BUDGET
 

@@ -97,22 +97,24 @@ def pytest_collection_modifyitems(config, items):
     persistent compile cache for the WHOLE run when any multi-device test
     was actually SELECTED. Marker application must run BEFORE pytest's own
     deselection prunes `items`; the cache decision must run AFTER — so the
-    cache check re-walks `items` in a trylast hook below."""
+    cache check runs in pytest_collection_finish below."""
     for item in items:
         if _is_multi(item):
             item.add_marker(pytest.mark.multidevice)
 
 
-@pytest.hookimpl(trylast=True)
 def pytest_collection_finish(session):
-    """Cache decision on the post-deselection item set (trylast: runs after
-    the -m marker deselection has pruned `session.items`, so a tier that
-    merely collected-then-deselected the collective suites keeps the
-    cache)."""
+    """Cache decision on the post-deselection item set (collection_finish
+    runs after every modifyitems hook, so a tier that merely
+    collected-then-deselected the collective suites keeps the cache). The
+    check honors the MARKER, not just the conftest lists: a new collective
+    test anywhere can (and should) declare @pytest.mark.multidevice at the
+    test site and get the same cache protection."""
     if _cache_dir == "0":
         return
 
-    if any(_is_multi(i) for i in session.items):
+    if any(i.get_closest_marker("multidevice") is not None
+           for i in session.items):
         jax.config.update("jax_compilation_cache_dir", None)
         print(
             "[conftest] multi-device tests collected -> persistent compile "

@@ -76,3 +76,44 @@ def test_build_encoder_dispatch():
     assert enc.name == "prosodic"
     enc = build_encoder(SimpleNamespace())  # default -> x-vectors
     assert enc.name == "x-vectors"
+
+
+def test_wav2vec2_explicit_weights_beat_random_mode(monkeypatch):
+    """MTS_WAV2VEC2_WEIGHTS must win over MTS_RANDOM_ENCODER_WEIGHTS —
+    same precedence as the crepe/openl3 hooks: a deployment that exports
+    real weights is not silently degraded by a leftover smoke flag."""
+    from multimodaltopicsegmentation_tpu.encoders import engine
+    from multimodaltopicsegmentation_tpu.encoders import wav2vec2 as W
+
+    seen = {}
+
+    def fake_load(path, stacked=None):
+        seen["path"] = path
+        return {}, W.Wav2Vec2Config.base()
+
+    monkeypatch.setattr(W, "load_pretrained", fake_load)
+    monkeypatch.setenv("MTS_RANDOM_ENCODER_WEIGHTS", "1")
+    monkeypatch.setenv("MTS_WAV2VEC2_WEIGHTS", "/some/ckpt")
+    engine.Wav2Vec2Encoder()
+    assert seen["path"] == "/some/ckpt"
+
+
+def test_openl3_env_weights_are_variant_specific(monkeypatch):
+    """The mel128 (training) and mel256 (inference) checkpoints are
+    shape-compatible, so each variant must resolve its own env var before
+    the generic fallback — a single path would cross-load silently."""
+    from multimodaltopicsegmentation_tpu.encoders import openl3 as O
+
+    seen = {}
+
+    def fake_load(path, n_mels=128):
+        seen[n_mels] = path
+        return O.openl3_init(jax.random.PRNGKey(0), n_mels)
+
+    monkeypatch.setattr(O, "load_weights", fake_load)
+    monkeypatch.setenv("MTS_OPENL3_WEIGHTS", "/generic.npz")
+    monkeypatch.setenv("MTS_OPENL3_WEIGHTS_MEL256", "/mel256.npz")
+    O.OpenL3Encoder(n_mels=256)
+    assert seen[256] == "/mel256.npz"
+    O.OpenL3Encoder(n_mels=128)  # no MEL128 var -> generic fallback
+    assert seen[128] == "/generic.npz"

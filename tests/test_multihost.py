@@ -88,12 +88,20 @@ def test_two_process_cluster_matches_single_process():
         for i in range(2)
     ]
     losses = []
-    for i, p in enumerate(procs):
-        out, _ = p.communicate(timeout=300)
-        assert p.returncode == 0, f"proc {i}:\n{out[-2000:]}"
-        line = [l for l in out.splitlines() if l.startswith("LOSS ")]
-        assert line, out[-2000:]
-        losses.append(float(line[0].split()[1]))
+    try:
+        for i, p in enumerate(procs):
+            out, _ = p.communicate(timeout=300)
+            assert p.returncode == 0, f"proc {i}:\n{out[-2000:]}"
+            line = [l for l in out.splitlines() if l.startswith("LOSS ")]
+            assert line, out[-2000:]
+            losses.append(float(line[0].split()[1]))
+    finally:
+        # a failing/timed-out worker must not leave its Gloo-blocked
+        # sibling running into the rest of the suite
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+                p.wait()
     assert losses[0] == pytest.approx(losses[1], rel=1e-6)
 
     # single-process reference on the concatenated batch: multihost lays

@@ -275,3 +275,21 @@ def test_noffn_block_trains_with_default_attention_dropout():
     _, p1 = model.decode(params, x, lengths, 0.5)
     _, p2 = model.decode(params, x, lengths, 0.5)
     np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
+
+
+def test_auto_remat_mask_estimate_tracks_flash_quantum(monkeypatch):
+    """The dropout-mask transient estimate must mirror the kernel's actual
+    block geometry (ops/pallas_attention._flash_geometry), including the
+    MTS_FLASH_BLOCK_QUANT widening knob — a hardcoded quantum would
+    underestimate HBM near the budget edge and store un-fittable programs."""
+    from multimodaltopicsegmentation_tpu.models.transformers import _auto_remat
+
+    _on_fake_tpu(monkeypatch)
+    monkeypatch.delenv("MTS_FLASH_BLOCK_QUANT", raising=False)
+    # flagship + active probs dropout: mask transient 0.41 GB, total 3.2 GB
+    # of the 4 GiB budget -> store
+    assert _auto_remat(10, 3600, 768, 256, 8, [240, 120], attn_drop=0.1) is False
+    # widening the flash block quantum inflates the REAL mask ([B*H,
+    # nb*block, 3*block] scales with block); the estimate must follow
+    monkeypatch.setenv("MTS_FLASH_BLOCK_QUANT", "2048")
+    assert _auto_remat(10, 3600, 768, 256, 8, [240, 120], attn_drop=0.1) is True
