@@ -134,20 +134,20 @@ def prosodic_features(
     def per_unit(y, n):
         t_valid = _n_frames(n)
         fmask = (jnp.arange(T) < t_valid).astype(y.dtype)
+        # the reference chains PLAIN yin (no voicing mask, never NaN) as the
+        # previous-unit track for the pitch jump (extract_embeddings.py:523,
+        # 529 chain librosa.yin, which is defined at EVERY frame). A
+        # voicing-masked raw track would NaN the tail sums below and
+        # silently zero the jump on any real unit with an unvoiced frame.
         if use_pyin:
             from .pyin import pyin as pyin_fn
 
-            f0, _vflag, voicing = pyin_fn(y, sr)
+            # raw plain-yin track from the same CMNDF — no second FFT pass
+            f0, _vflag, voicing, raw_f0 = pyin_fn(y, sr, with_raw_yin=True)
         else:
-            f0, voicing = yin(y, sr)
-        f0, voicing = f0[:T], voicing[:T]
-        # the reference chains PLAIN yin (no voicing mask, never NaN) as the
-        # previous-unit track for the pitch jump (extract_embeddings.py:523,529)
-        if use_pyin:
-            raw_f0, _ = yin(y, sr)
-            raw_f0 = raw_f0[:T]
-        else:
-            raw_f0 = f0
+            raw_f0, voicing = yin(y, sr, mask_unvoiced=False)
+            f0 = jnp.where(voicing >= 0.5, raw_f0, jnp.nan)
+        f0, voicing, raw_f0 = f0[:T], voicing[:T], raw_f0[:T]
         f0_mean, f0_std, f0_valid = _f0_stats(f0, fmask)
         p_mean, p_std, v_mean, v_std = pause_statistics(voicing, fmask)
         mel = melspectrogram(y, sr, n_mels=40)[:, :T]

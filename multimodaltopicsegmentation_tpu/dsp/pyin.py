@@ -32,6 +32,7 @@ import numpy as np
 from jax import lax
 
 from .spectral import frame_signal
+from .yin import cmndf_band, select_f0
 
 N_THRESHOLDS = 100
 BETA_A, BETA_B = 2.0, 18.0
@@ -79,7 +80,10 @@ def _transition_log(n_bins: int, sr: int, hop: int) -> np.ndarray:
 
 @partial(
     jax.jit,
-    static_argnames=("sr", "fmin", "fmax", "frame_length", "hop", "max_troughs"),
+    static_argnames=(
+        "sr", "fmin", "fmax", "frame_length", "hop", "max_troughs",
+        "with_raw_yin",
+    ),
 )
 def pyin(
     y: jnp.ndarray,
@@ -89,33 +93,18 @@ def pyin(
     frame_length: int = 2048,
     hop: int = 512,
     max_troughs: int = 128,
+    with_raw_yin: bool = False,
 ):
+    """with_raw_yin=True appends a 4th output: the plain-YIN f0 track
+    (defined at every frame, no voicing mask) selected from the SAME
+    CMNDF — the prosodic pitch-jump chain needs both tracks and this
+    avoids a second framing+FFT pass (dsp/prosody.per_unit)."""
     frames = frame_signal(y, frame_length, hop)
     T, W = frames.shape
-    tau_min = max(int(sr / fmax), 1)
-    tau_max = min(int(sr / fmin) + 1, W // 2)
-    n_tau = tau_max - tau_min
 
-    # ---- CMNDF (same identity as dsp/yin.py) ------------------------------
-    n_fft = int(2 ** np.ceil(np.log2(2 * W)))
-    spec = jnp.fft.rfft(frames, n=n_fft, axis=-1)
-    acf = jnp.fft.irfft(spec * jnp.conj(spec), n=n_fft, axis=-1)[:, : W // 2 + 1]
-    sq = frames**2
-    csum = jnp.cumsum(sq, axis=-1)
-    total = csum[:, -1:]
-    taus = np.arange(0, W // 2 + 1)
-    e_head = csum[:, W - 1 - taus]
-    e_tail = total - jnp.where(taus > 0, csum[:, np.maximum(taus - 1, 0)], 0.0)
-    d = jnp.maximum(e_head + e_tail - 2.0 * acf, 0.0)
-    cum = jnp.cumsum(d[:, 1:], axis=-1)
-    tau_range = jnp.asarray(np.arange(1, W // 2 + 1), d.dtype)
-    cmndf = jnp.concatenate(
-        [jnp.ones((T, 1), d.dtype), d[:, 1:] * tau_range / jnp.maximum(cum, 1e-12)],
-        axis=-1,
-    )
-    # zero-energy frames are 0/0 -> 0 "perfect periodicity"; force aperiodic
-    cmndf = jnp.where(total > 1e-10, cmndf, 1.0)
-    band = cmndf[:, tau_min:tau_max]  # [T, n_tau]
+    # ---- CMNDF (shared with dsp/yin.py) ------------------------------------
+    cmndf, band, tau_min, tau_max = cmndf_band(frames, sr, fmin, fmax)
+    n_tau = tau_max - tau_min
 
     # ---- trough candidates (local minima, parabolic-refined) --------------
     # librosa localmin semantics: x < left AND x <= right, never a trough at
@@ -221,4 +210,7 @@ def pyin(
     voiced_flag = (states < n_bins) & (voiced_prob >= 0.5)
     f0 = jnp.asarray(freqs)[states % n_bins]
     f0 = jnp.where(voiced_flag, f0, jnp.nan)
+    if with_raw_yin:
+        raw_f0, _ = select_f0(cmndf, band, tau_min, sr)
+        return f0, voiced_flag, voiced_prob, raw_f0
     return f0, voiced_flag, voiced_prob

@@ -51,17 +51,7 @@ def speech_segments(
     else:
         active = e > floor + offset
 
-    hop_s = 160 / sr
-    spans = []
-    start = None
-    for i, a in enumerate(active):
-        if a and start is None:
-            start = i
-        elif not a and start is not None:
-            spans.append((start * hop_s, i * hop_s))
-            start = None
-    if start is not None:
-        spans.append((start * hop_s, len(active) * hop_s))
+    spans = _binary_to_spans(active, hop_s=160 / sr)
 
     # bridge short gaps
     merged = []

@@ -32,18 +32,13 @@ import numpy as np
 from .spectral import frame_signal
 
 
-@partial(jax.jit, static_argnames=("sr", "fmin", "fmax", "frame_length", "hop", "threshold"))
-def yin(
-    y: jnp.ndarray,
-    sr: int,
-    fmin: float = 70.0,
-    fmax: float = 500.0,
-    frame_length: int = 2048,
-    hop: int = 512,
-    threshold: float = 0.1,
-):
-    """Returns (f0 [n_frames] with NaN for unvoiced, voicing [n_frames])."""
-    frames = frame_signal(y, frame_length, hop)  # [T, W]
+def cmndf_band(frames: jnp.ndarray, sr: int, fmin: float, fmax: float):
+    """Cumulative-mean-normalized difference function over framed audio.
+
+    Shared by yin() and dsp/pyin.pyin() (both trackers normalize the same
+    difference function). Returns (cmndf [T, W//2+1], band
+    [T, tau_max-tau_min], tau_min, tau_max).
+    """
     T, W = frames.shape
     tau_min = max(int(sr / fmax), 1)
     tau_max = min(int(sr / fmin) + 1, W // 2)
@@ -74,9 +69,17 @@ def yin(
     )
     # zero-energy frames are 0/0 -> 0 "perfect periodicity"; force aperiodic
     cmndf = jnp.where(total > 1e-10, cmndf, 1.0)
+    return cmndf, cmndf[:, tau_min:tau_max], tau_min, tau_max
 
-    band = cmndf[:, tau_min:tau_max]  # [T, n_tau]
-    n_tau = tau_max - tau_min
+
+def select_f0(cmndf: jnp.ndarray, band: jnp.ndarray, tau_min: int, sr: int,
+              threshold: float = 0.1):
+    """YIN trough selection + closed-form pyin voicing on a CMNDF band.
+
+    Returns (f0 [T] — defined for EVERY frame, no voicing mask — and
+    voicing [T]). Shared by yin() and pyin(with_raw_yin=True)."""
+    T, n_tau = band.shape
+    W2 = cmndf.shape[1] - 1  # = W // 2
 
     # YIN absolute threshold: first crossing below threshold, then descend
     # to the local minimum of that trough; fall back to the global min
@@ -97,12 +100,12 @@ def yin(
     ym1 = jnp.take_along_axis(cmndf, jnp.maximum(tau_abs - 1, 1)[:, None], axis=1)[:, 0]
     y0 = jnp.take_along_axis(cmndf, tau_abs[:, None], axis=1)[:, 0]
     yp1 = jnp.take_along_axis(
-        cmndf, jnp.minimum(tau_abs + 1, W // 2)[:, None], axis=1
+        cmndf, jnp.minimum(tau_abs + 1, W2)[:, None], axis=1
     )[:, 0]
     denom = 2.0 * (ym1 - 2.0 * y0 + yp1)
     shift = jnp.where(jnp.abs(denom) > 1e-12, (ym1 - yp1) / denom, 0.0)
     shift = jnp.clip(shift, -0.5, 0.5)
-    tau_refined = tau_abs.astype(d.dtype) + shift
+    tau_refined = tau_abs.astype(band.dtype) + shift
 
     f0 = sr / jnp.maximum(tau_refined, 1e-6)
     # pyin voiced probability, closed form over the Beta(2,18) threshold prior
@@ -110,6 +113,30 @@ def yin(
     no_trough_prob = 0.01
     cdf = jax.scipy.special.betainc(2.0, 18.0, min_cmndf)
     voicing = 1.0 - (1.0 - no_trough_prob) * cdf
-    voiced = voicing >= 0.5
-    f0 = jnp.where(voiced, f0, jnp.nan)
+    return f0, voicing
+
+
+@partial(jax.jit, static_argnames=(
+    "sr", "fmin", "fmax", "frame_length", "hop", "threshold", "mask_unvoiced"))
+def yin(
+    y: jnp.ndarray,
+    sr: int,
+    fmin: float = 70.0,
+    fmax: float = 500.0,
+    frame_length: int = 2048,
+    hop: int = 512,
+    threshold: float = 0.1,
+    mask_unvoiced: bool = True,
+):
+    """Returns (f0 [n_frames], voicing [n_frames]).
+
+    mask_unvoiced=True NaNs f0 below 0.5 voicing like pyin's unvoiced
+    output; False returns the raw track defined at every frame — the
+    reference's plain librosa.yin semantics (never NaN), which the
+    prosodic pitch-jump chain requires (extract_embeddings.py:523,529)."""
+    frames = frame_signal(y, frame_length, hop)  # [T, W]
+    cmndf, band, tau_min, _tau_max = cmndf_band(frames, sr, fmin, fmax)
+    f0, voicing = select_f0(cmndf, band, tau_min, sr, threshold)
+    if mask_unvoiced:
+        f0 = jnp.where(voicing >= 0.5, f0, jnp.nan)
     return f0, voicing

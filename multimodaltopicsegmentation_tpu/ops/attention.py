@@ -83,7 +83,7 @@ def dense_attention(q, k, v, mask=None, bias=None, probs_drop=0.0, rng=None):
     return jnp.einsum("bhqk,bhkd->bhqd", w, v)
 
 
-def _band_mask(nb: int, block: int, half: int, dtype=jnp.float32) -> jnp.ndarray:
+def _band_mask(block: int, half: int, dtype=jnp.float32) -> jnp.ndarray:
     """[block, 3*block] additive mask allowing |global offset| <= half."""
     qpos = np.arange(block)[:, None]
     kpos = np.arange(3 * block)[None, :] - block
@@ -209,6 +209,9 @@ def local_attention(
         # either would change logits vs the XLA path used in training
         assert bias_fn is None, "pallas local attention does not support bias_fn"
         assert not drop_active, "pallas local attention has no probs dropout"
+        # the kernel scales unconditionally by 1/sqrt(Dh); serving an
+        # unscaled (T5-convention) call would silently change logits
+        assert scale, "pallas local attention always scales by 1/sqrt(Dh)"
         from .pallas_attention import pallas_local_attention
 
         return pallas_local_attention(q, k, v, window, mask)
@@ -246,7 +249,7 @@ def local_attention(
             B, nb, block
         )
 
-    band = _band_mask(nb, block, half, q.dtype)  # [block, 3b]
+    band = _band_mask(block, half, q.dtype)  # [block, 3b]
     if bias_fn is not None:
         rel = np.arange(3 * block)[None, :] - block - np.arange(block)[:, None]
         bias = bias_fn(jnp.asarray(rel))  # [H, block, 3b]
@@ -287,8 +290,12 @@ def t5_relative_bucket(relative_position, num_buckets: int, max_distance: int):
     rp = jnp.abs(rp)
     max_exact = num_buckets // 2
     is_small = rp < max_exact
+    # clamp INSIDE the discarded is_small branch only (rp < max_exact, incl.
+    # rp=0 where a bare log is -inf); for the selected branch the argument
+    # is exactly HF's log(rp/max_exact) — an additive epsilon would shift
+    # truncation by ~5e-6 buckets and can flip a bucket at the boundary
     val_if_large = max_exact + (
-        jnp.log(rp.astype(jnp.float32) / max_exact + 1e-6)
+        jnp.log(jnp.maximum(rp, max_exact).astype(jnp.float32) / max_exact)
         / math.log(max_distance / max_exact)
         * (num_buckets - max_exact)
     ).astype(jnp.int32)

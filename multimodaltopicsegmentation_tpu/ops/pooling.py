@@ -29,21 +29,36 @@ def segment_std(frames: jnp.ndarray, seg_ids: jnp.ndarray, n_units: int) -> jnp.
     return jnp.sqrt(jnp.maximum(var, 0.0))
 
 
+def _seg_count(frames: jnp.ndarray, seg_ids: jnp.ndarray, n_units: int) -> jnp.ndarray:
+    return jax.ops.segment_sum(
+        jnp.ones((frames.shape[0],), frames.dtype), seg_ids, n_units
+    )
+
+
 def segment_max(frames: jnp.ndarray, seg_ids: jnp.ndarray, n_units: int) -> jnp.ndarray:
-    return jax.ops.segment_max(frames, seg_ids, n_units)
+    # an empty segment's segment_max is the dtype's min sentinel (-inf for
+    # floats); zero it like the mean/std reductions so a unit with no
+    # frames yields a zero row, not garbage
+    cnt = _seg_count(frames, seg_ids, n_units)
+    return jnp.where(cnt[:, None] > 0,
+                     jax.ops.segment_max(frames, seg_ids, n_units), 0.0)
 
 
 def segment_last(frames: jnp.ndarray, seg_ids: jnp.ndarray, n_units: int) -> jnp.ndarray:
-    """Embedding of each unit's final frame."""
+    """Embedding of each unit's final frame (zeros for an empty unit)."""
     idx = jnp.arange(frames.shape[0])
-    last_idx = jax.ops.segment_max(idx, seg_ids, n_units)
-    return frames[last_idx]
+    last_idx = jnp.clip(jax.ops.segment_max(idx, seg_ids, n_units),
+                        0, max(frames.shape[0] - 1, 0))
+    cnt = _seg_count(frames, seg_ids, n_units)
+    return jnp.where(cnt[:, None] > 0, frames[last_idx], 0.0)
 
 
 def segment_first(frames: jnp.ndarray, seg_ids: jnp.ndarray, n_units: int) -> jnp.ndarray:
     idx = jnp.arange(frames.shape[0])
-    first_idx = jax.ops.segment_min(idx, seg_ids, n_units)
-    return frames[first_idx]
+    first_idx = jnp.clip(jax.ops.segment_min(idx, seg_ids, n_units),
+                         0, max(frames.shape[0] - 1, 0))
+    cnt = _seg_count(frames, seg_ids, n_units)
+    return jnp.where(cnt[:, None] > 0, frames[first_idx], 0.0)
 
 
 def pool(frames: jnp.ndarray, seg_ids: jnp.ndarray, n_units: int, variant: str) -> jnp.ndarray:
@@ -72,7 +87,10 @@ def pool(frames: jnp.ndarray, seg_ids: jnp.ndarray, n_units: int, variant: str) 
     if variant in ("delta_gap", "_delta_gap"):
         # reference: next unit's first frame minus this unit's last frame;
         # the final unit keeps its last frame verbatim
-        # (extract_embeddings.py:662-668)
+        # (extract_embeddings.py:662-668). CONTRACT: unit n_units-1 must be
+        # a real (non-empty) unit — the extract CLI always passes exact
+        # unit counts; padding units past the real final one would move
+        # this .at[-1] rule onto a zero row.
         last = segment_last(frames, seg_ids, n_units)
         first = segment_first(frames, seg_ids, n_units)
         next_first = jnp.concatenate([first[1:], jnp.zeros_like(first[:1])], axis=0)

@@ -74,6 +74,24 @@ def test_t5_bucket_symmetric_properties():
     assert all(np.diff(b[21:]) >= 0)
 
 
+def test_t5_bucket_matches_hf_exactly():
+    """Bit-exact vs HF T5Attention._relative_position_bucket over a dense
+    offset range and several (num_buckets, max_distance) — the truncation
+    boundary is sensitive to any epsilon inside the log (a former +1e-6
+    could flip a bucket where the ratio lands ~5e-6 below an integer)."""
+    import torch
+    from transformers.models.t5.modeling_t5 import T5Attention
+
+    for nb, md in ((32, 128), (32, 64), (16, 48), (64, 256)):
+        rel = np.arange(-3 * md, 3 * md + 1)
+        ours = np.asarray(A.t5_relative_bucket(rel, nb, md))
+        hf = T5Attention._relative_position_bucket(
+            torch.tensor(rel), bidirectional=True,
+            num_buckets=nb, max_distance=md,
+        ).numpy()
+        np.testing.assert_array_equal(ours, hf, err_msg=f"{nb},{md}")
+
+
 def test_relative_bias_fn_shape():
     table = jnp.asarray(np.random.default_rng(0).standard_normal((32, 4)), jnp.float32)
     fn = A.relative_bias_fn(table, 32, 16)

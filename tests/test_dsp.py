@@ -177,3 +177,47 @@ def test_pooling_variants_match_loops():
     np.testing.assert_allclose(
         np.asarray(P.pool(f, s, 4, "_delta_gap")), np.stack(ref_dg), atol=1e-6
     )
+
+
+def test_pitch_jump_survives_unvoiced_frames_in_previous_unit():
+    """The chained previous-unit track is PLAIN yin (defined at every
+    frame, like librosa.yin in the reference) — a voicing-masked track
+    would NaN the tail statistics whenever the previous unit contains ANY
+    unvoiced frame (real speech always does) and silently zero the
+    pitch-jump feature, dim 167 of the prosodic vector."""
+    sr = 16000
+    rng = np.random.default_rng(0)
+    t = np.arange(sr) / sr
+    prev = np.sin(2 * np.pi * 220 * t).astype(np.float32)
+    gap = slice(sr // 2, sr // 2 + sr // 8)  # 0.125 s noise gap -> unvoiced
+    prev[gap] = 0.05 * rng.standard_normal(sr // 8).astype(np.float32)
+    cur = np.sin(2 * np.pi * 330 * t).astype(np.float32)
+    units = jnp.asarray(np.stack([prev, cur]))
+    lengths = jnp.asarray(np.array([sr, sr]))
+    for use_pyin in (True, False):
+        pros = np.asarray(
+            prosodic_features(units, lengths, sr, use_pyin=use_pyin)
+        )
+        assert np.all(np.isfinite(pros))
+        jump = pros[1, 166]
+        assert jump != 0.0, f"use_pyin={use_pyin}: pitch jump collapsed to 0"
+        # rough magnitude sanity: both tracks are tone-dominated, so the
+        # normalized head/tail ratio difference stays small but clearly
+        # nonzero
+        assert 1e-4 < abs(jump) < 2.0, (use_pyin, jump)
+
+
+def test_pooling_empty_segments_yield_zero_rows():
+    """Units with zero frames must pool to zero rows (not the dtype-min
+    sentinel segment_max produces, nor an arbitrary clamped gather row) —
+    the hazard is latent today (the extract CLI guarantees non-empty
+    units) but a padded unit axis would silently corrupt embeddings."""
+    from multimodaltopicsegmentation_tpu.ops.pooling import pool
+
+    rng = np.random.default_rng(0)
+    frames = jnp.asarray(rng.standard_normal((5, 3)).astype(np.float32))
+    seg_ids = jnp.asarray(np.array([0, 0, 1, 1, 1]))  # units 2,3 empty
+    for variant in ("_mean", "_max", "_mean_std", "_max_std", "_last"):
+        out = np.asarray(pool(frames, seg_ids, 4, variant))
+        assert np.all(np.isfinite(out)), variant
+        assert np.all(out[2:] == 0.0), (variant, out[2:])
